@@ -1,0 +1,25 @@
+"""gdiet_tpu — a TPU-native sparsified-genomics read-mapping framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+CMU-SAFARI/Genome-on-Diet (reference mounted at /root/reference): pattern
+("diet") sparsified minimizer indexing, per-read pattern-shift inference,
+compressed seeding, location voting, and banded dual affine-gap alignment
+producing SAM/PAF records for Illumina / HiFi / ONT reads.
+
+Everything on the device side is fixed-shape batched tensor computation;
+variable-length constructs from the reference (kvec/khash/kthread) are
+replaced by padded arrays + masks, device sorts, and segmented scans.
+
+64-bit integers are required for minimizer hash keys (up to 2k=56 bits), so
+x64 mode is enabled at import. All device code uses explicit dtypes.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from gdiet_tpu.config import IndexOptions, MapOptions, set_preset  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = ["IndexOptions", "MapOptions", "set_preset", "__version__"]

@@ -1,0 +1,167 @@
+"""SAM / PAF record formatting.
+
+Semantics re-derived from GDiet-ShortReads/format.c: header (mm_write_sam_hdr
+format.c:128-148), per-record fields/flags (mm_write_sam3 format.c:412-602),
+tags (write_tags format.c:292-324), CIGAR with clips (write_sam_cigar
+format.c:387-410), and PAF (mm_write_paf3 format.c:326-358).
+
+Only the single-segment (n_seg == 1) path is implemented so far; paired-end
+mate fields arrive with the pe layer.
+"""
+
+from __future__ import annotations
+
+from gdiet_tpu.config import CIGAR_STR, MM_F_SOFTCLIP
+from gdiet_tpu.oracle.align import Reg, event_identity
+
+_COMP = str.maketrans("ACGTUacgtuRYSWKMBDHVN", "TGCAAtgcaaYRSWMKVHDBN")
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
+
+
+def sam_header(names: list[str], lengths: list[int], cli: str | None = None,
+               version: str = "0.1.0") -> str:
+    lines = [f"@SQ\tSN:{n}\tLN:{l}" for n, l in zip(names, lengths)]
+    pg = f"@PG\tID:gdiet\tPN:gdiet\tVN:{version}"
+    if cli:
+        pg += f"\tCL:{cli}"
+    lines.append(pg)
+    return "\n".join(lines) + "\n"
+
+
+def _tags(r: Reg) -> str:
+    """write_tags (format.c:292-324)."""
+    t = "P" if r.id == r.parent else "S"
+    if r.inv:
+        t = "I" if r.id == r.parent else "i"
+    s = f"\tNM:i:{r.blen - r.mlen + r.n_ambi}\tms:i:{r.dp_max}\tAS:i:{r.dp_score}\tnn:i:{r.n_ambi}"
+    s += f"\ttp:A:{t}\tcm:i:{r.cnt}\ts1:i:{r.score}"
+    if r.parent == r.id:
+        s += f"\ts2:i:{r.subsc}"
+    div = 1.0 - event_identity(r)
+    s += "\tde:f:0" if div == 0.0 else f"\tde:f:{div:.4f}"
+    if r.split:
+        s += f"\tzd:i:{r.split}"
+    return s
+
+
+def _sam_cigar(r: Reg, qlen: int, sam_flag: int, opt_flag: int) -> str:
+    """write_sam_cigar (format.c:387-410)."""
+    if not r.cigar:
+        return "*"
+    clip0 = qlen - r.qe if r.rev else r.qs
+    clip1 = r.qs if r.rev else qlen - r.qe
+    clip_char = "H" if (sam_flag & 0x800) and not (opt_flag & MM_F_SOFTCLIP) else "S"
+    out = []
+    if clip0:
+        out.append(f"{clip0}{clip_char}")
+    for length, op in r.cigar:
+        out.append(f"{length}{CIGAR_STR[op]}")
+    if clip1:
+        out.append(f"{clip1}{clip_char}")
+    return "".join(out)
+
+
+def sam_record(
+    name: str,
+    seq: str,
+    qual: str | None,
+    r: Reg | None,
+    regs: list[Reg],
+    ref_names: list[str],
+    opt_flag: int = 0,
+    rep_len: int = 0,
+) -> str:
+    """mm_write_sam3 (format.c:412-602), n_seg == 1 path."""
+    qlen = len(seq)
+    flag = 0
+    if r is None:
+        flag |= 0x4
+    else:
+        if r.rev:
+            flag |= 0x10
+        if r.parent != r.id:
+            flag |= 0x100
+        elif not r.sam_pri:
+            flag |= 0x800
+    fields = [name, str(flag)]
+    if r is None:
+        fields += ["*", "0", "0", "*"]
+    else:
+        fields += [ref_names[r.rid], str(r.rs + 1), str(r.mapq),
+                   _sam_cigar(r, qlen, flag, opt_flag)]
+    fields += ["*", "0", "0"]
+    # SEQ / QUAL (format.c:533-559)
+    if r is None:
+        fields += [seq, qual or "*"]
+    elif (flag & 0x900) == 0 or (opt_flag & MM_F_SOFTCLIP):
+        fields += [revcomp(seq) if r.rev else seq,
+                   (qual[::-1] if r.rev else qual) if qual else "*"]
+    elif flag & 0x100:
+        fields += ["*", "*"]
+    else:
+        sub = seq[r.qs : r.qe]
+        subq = qual[r.qs : r.qe] if qual else None
+        fields += [revcomp(sub) if r.rev else sub,
+                   (subq[::-1] if r.rev else subq) if subq else "*"]
+    out = "\t".join(fields)
+    if r is not None:
+        out += _tags(r)
+        # SA tag for co-primary (supplementary) alignments (format.c:566-591)
+        if r.parent == r.id and r.cigar and len(regs) > 1:
+            others = [q for q in regs if q is not r and q.parent == q.id and q.cigar]
+            if others:
+                sa = "\tSA:Z:"
+                for q in others:
+                    if q.qe - q.qs < q.re - q.rs:
+                        l_M, l_I, l_D = q.qe - q.qs, 0, (q.re - q.rs) - (q.qe - q.qs)
+                    else:
+                        l_M, l_I, l_D = q.re - q.rs, (q.qe - q.qs) - (q.re - q.rs), 0
+                    clip5 = qlen - q.qe if q.rev else q.qs
+                    clip3 = q.qs if q.rev else qlen - q.qe
+                    sa += f"{ref_names[q.rid]},{q.rs + 1},{'-' if q.rev else '+'},"
+                    if clip5:
+                        sa += f"{clip5}S"
+                    if l_M:
+                        sa += f"{l_M}M"
+                    if l_I:
+                        sa += f"{l_I}I"
+                    if l_D:
+                        sa += f"{l_D}D"
+                    if clip3:
+                        sa += f"{clip3}S"
+                    sa += f",{q.mapq},{q.blen - q.mlen + q.n_ambi};"
+                out += sa
+    if rep_len >= 0:
+        out += f"\trl:i:{rep_len}"
+    return out
+
+
+def paf_record(
+    name: str,
+    qlen: int,
+    r: Reg | None,
+    ref_names: list[str],
+    ref_lens: list[int],
+    rep_len: int = 0,
+    out_cigar: bool = False,
+) -> str:
+    """mm_write_paf3 (format.c:326-358)."""
+    if r is None:
+        s = f"{name}\t{qlen}\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0"
+        if rep_len >= 0:
+            s += f"\trl:i:{rep_len}"
+        return s
+    s = (
+        f"{name}\t{qlen}\t{r.qs}\t{r.qe}\t{'-' if r.rev else '+'}\t"
+        f"{ref_names[r.rid]}\t{ref_lens[r.rid]}\t{r.rs}\t{r.re}\t"
+        f"{r.mlen}\t{r.blen}\t{r.mapq}"
+    )
+    s += _tags(r)
+    if rep_len >= 0:
+        s += f"\trl:i:{rep_len}"
+    if out_cigar and r.cigar:
+        s += "\tcg:Z:" + "".join(f"{l}{CIGAR_STR[op]}" for l, op in r.cigar)
+    return s

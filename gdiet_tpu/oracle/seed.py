@@ -1,0 +1,179 @@
+"""Seeding oracle: query-occurrence filter, index matching, high-occurrence
+seed selection, shift inference, and diagonal-projected hit collection.
+
+Semantics re-derived from GDiet-ShortReads/seed.c and map.c:261-431.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gdiet_tpu.oracle.index import OracleIndex
+
+U32 = (1 << 32) - 1
+
+
+def seed_mz_flt(seeds: list[tuple[int, int]], q_occ_max: int, q_occ_frac: float):
+    """mm_seed_mz_flt (seed.c:5-29): drop minimizers whose within-query
+    occurrence exceeds both q_occ_max and n*q_occ_frac. In place."""
+    n = len(seeds)
+    if n <= q_occ_max or q_occ_frac <= 0.0 or q_occ_max <= 0:
+        return seeds
+    order = sorted(range(n), key=lambda i: seeds[i][0])
+    drop = set()
+    st = 0
+    for i in range(1, n + 1):
+        if i == n or seeds[order[i]][0] != seeds[order[st]][0]:
+            cnt = i - st
+            if cnt > q_occ_max and cnt > n * q_occ_frac:
+                for j in range(st, i):
+                    drop.add(order[j])
+            st = i
+    return [s for i, s in enumerate(seeds) if i not in drop]
+
+
+@dataclass
+class Seed:
+    """mm_seed_t analog (mmpriv.h): one query minimizer with its index hits."""
+
+    q_pos: int  # packed: real_location<<1 | strand (lower 32 bits of y)
+    q_span: int
+    hits: np.ndarray  # sorted y values from the index
+    n: int
+    is_tandem: bool = False
+    flt: bool = False
+
+
+def seed_collect_all(mi: OracleIndex, seeds: list[tuple[int, int]]) -> list[Seed]:
+    """mm_seed_collect_all (seed.c:36-62)."""
+    out: list[Seed] = []
+    for i, (x, y) in enumerate(seeds):
+        hits = mi.get(x >> 8)
+        if len(hits) == 0:
+            continue
+        s = Seed(q_pos=y & U32, q_span=x & 0xFF, hits=hits, n=len(hits))
+        if i > 0 and (x >> 8) == (seeds[i - 1][0] >> 8):
+            s.is_tandem = True
+        if i < len(seeds) - 1 and (x >> 8) == (seeds[i + 1][0] >> 8):
+            s.is_tandem = True
+        out.append(s)
+    return out
+
+
+MAX_MAX_HIGH_OCC = 128
+
+
+def seed_select(a: list[Seed], qlen: int, max_occ: int, max_max_occ: int, dist: int):
+    """mm_seed_select (seed.c:66-106): for each streak of high-occurrence
+    minimizers keep only ~(span/dist) of the least-frequent ones. In place."""
+    n = len(a)
+    if n <= 1:
+        return
+    if not any(s.n > max_occ for s in a):
+        return
+    last0 = -1
+    for i in range(n + 1):
+        if i == n or a[i].n <= max_occ:
+            if i - last0 > 1:
+                ps = 0 if last0 < 0 else (a[last0].q_pos & U32) >> 1
+                pe = qlen if i == n else (a[i].q_pos & U32) >> 1
+                st, en = last0 + 1, i
+                max_high_occ = int((pe - ps) / dist + 0.499)
+                if max_high_occ > 0:
+                    max_high_occ = min(max_high_occ, MAX_MAX_HIGH_OCC)
+                    # replicate the bounded max-heap of (n<<32|j) keys
+                    # (seed.c:86-96) including its tie behaviour
+                    b: list[int] = []
+                    j = st
+                    while j < en and len(b) < max_high_occ:
+                        b.append(a[j].n << 32 | j)
+                        j += 1
+                    import heapq
+
+                    heap = [-v for v in b]
+                    heapq.heapify(heap)
+                    while j < en:
+                        if a[j].n < (-heap[0]) >> 32:
+                            heapq.heapreplace(heap, -(a[j].n << 32 | j))
+                        j += 1
+                    for v in heap:
+                        a[(-v) & U32].flt = True
+                for j in range(st, en):
+                    a[j].flt = not a[j].flt
+                for j in range(st, en):
+                    if a[j].n > max_max_occ:
+                        a[j].flt = True
+            last0 = i
+
+
+def collect_matches(
+    mi: OracleIndex,
+    seeds: list[tuple[int, int]],
+    qlen: int,
+    max_occ: int,
+    max_max_occ: int,
+    dist: int,
+) -> list[Seed]:
+    """mm_collect_matches2 (seed.c:143-164)."""
+    m = seed_collect_all(mi, seeds)
+    if dist > 0 and max_max_occ > max_occ:
+        seed_select(m, qlen, max_occ, max_max_occ, dist)
+    else:
+        for s in m:
+            if s.n > max_occ:
+                s.flt = True
+    return [s for s in m if not s.flt]
+
+
+def get_shift(mi: OracleIndex, seeds: list[tuple[int, int]], counts: list[int]) -> int:
+    """mm_get_shift (seed.c:166-194): argmax over shifts of total index hit
+    counts of that shift's probe seeds; strict improvement keeps earlier."""
+    shift = 0
+    max_hits = 0
+    base = 0
+    for i, cnt in enumerate(counts):
+        cur = 0
+        for kk in range(cnt):
+            x, _ = seeds[base + kk]
+            cur += len(mi.get(x >> 8))
+        if cur > max_hits:
+            shift, max_hits = i, cur
+        base += cnt
+    return shift
+
+
+def collect_seed_hits(
+    m: list[Seed], tmp_extracted_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Diagonal projection + sort (map.c:261-431, all three sort variants are
+    order-equivalent for voting — ties share the same target key).
+
+    Returns (targets_fwd, queries_fwd, targets_rev, queries_rev), each sorted
+    ascending by target. target = chrom_id << 32 | projected_loc with
+    fwd: loc + tmp_extracted_len - qpos, rev: loc + qpos (map.c:294-311).
+    """
+    tf, qf, tr, qr = [], [], [], []
+    for s in m:
+        qpos = (s.q_pos & U32) >> 1
+        qstrand = s.q_pos & 1
+        for r in s.hits.tolist():
+            strand = (r & 1) ^ qstrand
+            loc = (r & U32) >> 1
+            chrom = r >> 32
+            if strand:
+                proj = (loc + qpos) & U32
+                tr.append((chrom << 32) | proj)
+                qr.append(qpos)
+            else:
+                proj = (loc + tmp_extracted_len - qpos) & U32
+                tf.append((chrom << 32) | proj)
+                qf.append(qpos)
+    tf = np.array(tf, dtype=np.uint64)
+    qf = np.array(qf, dtype=np.uint32)
+    tr = np.array(tr, dtype=np.uint64)
+    qr = np.array(qr, dtype=np.uint32)
+    of = np.argsort(tf, kind="stable")
+    orv = np.argsort(tr, kind="stable")
+    return tf[of], qf[of], tr[orv], qr[orv]
