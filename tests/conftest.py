@@ -13,7 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# persistent compile cache: device tests recompile nothing on repeat runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gdiet")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 DATA = pathlib.Path(__file__).parent / "data"
 
