@@ -1,0 +1,271 @@
+"""Diet minimizer index: device build, CSR layout, lookup, serialization.
+
+TPU-native re-design of the reference's bucketed khash index
+(GDiet-ShortReads/index.c): instead of 2^14 buckets of open-address hash
+tables (index.c:29-34,216-271), the index is three dense arrays —
+
+  keys      [K]   uint64  sorted unique minimizer hash keys (x >> 8)
+  starts    [K+1] int64   CSR offsets into positions
+  positions [P]   uint64  packed hits (rid<<32 | pos<<1 | strand), sorted
+                          ascending within each key (index.c:255-257)
+
+so mm_idx_get (index.c:84-100) becomes a batched binary search + gather and
+the whole structure lives in HBM. The reference sequence is kept as nt4
+codes for the alignment stage's window gathers (mm_idx_getseq,
+index.c:157-188); mm_idx_dump/load (index.c:480-571) becomes an .npz
+checkpoint. Occurrence quantile mm_idx_cal_max_occ (index.c:190-210) is a
+partition over per-key counts.
+
+Construction runs the device sketch (ops/sketch.py) over fixed-size chunks
+of each sequence with (2w+k) overlap — enough context for the emitted-mask
+to be exact at chunk interiors — then a single sort builds the CSR arrays.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from gdiet_tpu import pattern as pat
+from gdiet_tpu.config import IndexOptions
+from gdiet_tpu.ops.sketch import sketch_emit
+from gdiet_tpu.oracle.sketch import seq_to_code
+
+CHUNK = 1 << 19  # diet positions per device call
+
+
+@dataclass
+class DietIndex:
+    k: int
+    w: int
+    pattern: str
+    names: list[str]
+    lengths: np.ndarray  # [n_seq] int64
+    seq_offsets: np.ndarray  # [n_seq] int64 offsets into codes
+    codes: np.ndarray  # [total_len] uint8 nt4 codes (4 = N)
+    keys: np.ndarray  # [K] uint64 sorted unique
+    starts: np.ndarray  # [K+1] int64
+    positions: np.ndarray  # [P] uint64
+    flag: int = 0
+    _device: dict = field(default_factory=dict, repr=False)
+
+    @property
+    def n_seq(self) -> int:
+        return len(self.names)
+
+    # ---- queries ----------------------------------------------------------
+    def get(self, minier: int) -> np.ndarray:
+        """mm_idx_get analog for host callers."""
+        i = np.searchsorted(self.keys, np.uint64(minier))
+        if i < len(self.keys) and self.keys[i] == np.uint64(minier):
+            return self.positions[self.starts[i] : self.starts[i + 1]]
+        return np.zeros((0,), dtype=np.uint64)
+
+    def lookup(self, q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched mm_idx_get: query keys [..] -> (start, count) int64.
+        Missing keys get count 0."""
+        keys = self.device("keys")
+        idx = jnp.searchsorted(keys, q)
+        idx_c = jnp.clip(idx, 0, len(self.keys) - 1)
+        found = (len(self.keys) > 0) & (jnp.take(keys, idx_c) == q)
+        starts = self.device("starts")
+        s = jnp.take(starts, jnp.clip(idx, 0, len(self.keys)))
+        e = jnp.take(starts, jnp.clip(idx + 1, 0, len(self.keys)))
+        cnt = jnp.where(found, e - s, 0)
+        return jnp.where(found, s, 0), cnt
+
+    def getseq(self, rid: int, st: int, en: int, rev: bool = False) -> np.ndarray:
+        """mm_idx_getseq2 (host side)."""
+        off = int(self.seq_offsets[rid])
+        ln = int(self.lengths[rid])
+        en = min(en, ln)
+        if not rev:
+            return self.codes[off + st : off + en].copy()
+        frag = self.codes[off + ln - en : off + ln - st][::-1]
+        return np.where(frag < 4, 3 - frag, frag).astype(np.uint8)
+
+    def device(self, name: str) -> jnp.ndarray:
+        """Device-resident copy of an index array (cached)."""
+        if name not in self._device:
+            self._device[name] = jnp.asarray(getattr(self, name))
+        return self._device[name]
+
+    def cal_max_occ(self, f: float) -> int:
+        """mm_idx_cal_max_occ (index.c:190-210)."""
+        if f <= 0.0 or len(self.keys) == 0:
+            return 2**31 - 1
+        counts = (self.starts[1:] - self.starts[:-1]).astype(np.uint32)
+        n = len(counts)
+        idx = min(int((1.0 - f) * n), n - 1)
+        return int(np.partition(counts, idx)[idx]) + 1
+
+    def derive_mid_occ(self, mo) -> int:
+        """mm_mapopt_update (options.c:64-76)."""
+        if mo.mid_occ > 0:
+            return mo.mid_occ
+        mid = self.cal_max_occ(mo.mid_occ_frac)
+        mid = max(mid, mo.min_mid_occ)
+        if mo.max_mid_occ > mo.min_mid_occ:
+            mid = min(mid, mo.max_mid_occ)
+        return mid
+
+    def stats(self) -> dict:
+        """mm_idx_stat analog (index.c:102-127)."""
+        counts = self.starts[1:] - self.starts[:-1]
+        n = len(self.keys)
+        total = int(self.lengths.sum())
+        return {
+            "kmer_size": self.k,
+            "skip": self.w,
+            "n_seq": self.n_seq,
+            "distinct_minimizers": n,
+            "pct_singletons": 100.0 * float((counts == 1).sum()) / n if n else 0.0,
+            "avg_occurrences": float(counts.mean()) if n else 0.0,
+            "avg_spacing": total / float(counts.sum()) if n else 0.0,
+            "total_length": total,
+        }
+
+    # ---- serialization (mm_idx_dump/load analog) --------------------------
+    MAGIC = "GDI\x01"
+
+    def save(self, path: str):
+        meta = {
+            "magic": self.MAGIC,
+            "k": self.k,
+            "w": self.w,
+            "pattern": self.pattern,
+            "flag": self.flag,
+            "names": self.names,
+        }
+        np.savez(
+            path,
+            meta=json.dumps(meta),
+            lengths=self.lengths,
+            seq_offsets=self.seq_offsets,
+            codes=self.codes,
+            keys=self.keys,
+            starts=self.starts,
+            positions=self.positions,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "DietIndex":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        if meta.get("magic") != cls.MAGIC:
+            raise ValueError(f"{path}: not a gdiet index")
+        return cls(
+            k=meta["k"],
+            w=meta["w"],
+            pattern=meta["pattern"],
+            flag=meta["flag"],
+            names=list(meta["names"]),
+            lengths=z["lengths"],
+            seq_offsets=z["seq_offsets"],
+            codes=z["codes"],
+            keys=z["keys"],
+            starts=z["starts"],
+            positions=z["positions"],
+        )
+
+    @staticmethod
+    def is_index(path: str) -> bool:
+        """mm_idx_is_idx analog (index.c:573-593)."""
+        try:
+            z = np.load(path, allow_pickle=False)
+            return json.loads(str(z["meta"])).get("magic") == DietIndex.MAGIC
+        except Exception:
+            return False
+
+
+def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
+    """Run the device sketch over one sequence in fixed-size chunks.
+    Returns (keys, ys) numpy arrays (unordered)."""
+    gm = pat.gather_map(len(codes), pattern, 0)
+    D = len(gm)
+    if D == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    ov = 2 * w + k  # context needed for exact emission at interiors
+    keys_out, ys_out = [], []
+    start = 0
+    while start < D:
+        end = min(start + CHUNK, D)
+        lo = max(0, start - ov)
+        hi = min(D, end + ov)
+        n = hi - lo
+        dc = np.full((1, CHUNK + 2 * ov), 255, np.uint8)
+        rp = np.zeros((1, CHUNK + 2 * ov), np.int64)
+        dc[0, :n] = codes[gm[lo:hi]]
+        rp[0, :n] = gm[lo:hi]
+        is_final = end == D
+        xs, ys, valid, cnt = sketch_emit(
+            jnp.asarray(dc),
+            jnp.asarray(np.array([n], np.int64)),
+            jnp.asarray(rp),
+            jnp.asarray(np.array([rid], np.int64)),
+            k,
+            w,
+            CHUNK + 2 * ov,
+            # strict final flush only applies at the true sequence end
+            final_flush_ge=not is_final,
+        )
+        xs = np.asarray(xs[0])
+        ys = np.asarray(ys[0])
+        m = int(cnt[0])
+        xs, ys = xs[:m], ys[:m]
+        # ownership: diet position within [start, end)
+        p_real = (ys & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
+        # map back: position within chunk = index into gm[lo:hi]; recompute
+        # diet position from emission slot is not possible, so use real->diet
+        # ordering: gm is strictly increasing, so searchsorted works
+        p_diet = lo + np.searchsorted(gm[lo:hi], p_real.astype(np.int64))
+        own = (p_diet >= start) & (p_diet < end)
+        keys_out.append((xs[own] >> np.uint64(8)).astype(np.uint64))
+        ys_out.append(ys[own].astype(np.uint64))
+        start = end
+    return np.concatenate(keys_out), np.concatenate(ys_out)
+
+
+def build_index(
+    seqs: list[tuple[str, str]] | dict[str, str],
+    io: IndexOptions,
+) -> DietIndex:
+    """mm_idx_gen analog: sketch every sequence on device, then build CSR."""
+    items = list(seqs.items()) if isinstance(seqs, dict) else list(seqs)
+    names, lengths, offsets, codes_all = [], [], [], []
+    all_keys, all_ys = [], []
+    off = 0
+    k, w = io.k, io.w
+    if k * 2 < io.bucket_bits:  # mm_idx_init clamps b, irrelevant for CSR
+        pass
+    for rid, (name, seq) in enumerate(items):
+        codes = seq_to_code(seq) if isinstance(seq, (str, bytes)) else seq
+        names.append(name)
+        lengths.append(len(codes))
+        offsets.append(off)
+        off += len(codes)
+        codes_all.append(codes)
+        ks, ys = _sketch_sequence(codes, k, w, io.pattern, rid)
+        all_keys.append(ks)
+        all_ys.append(ys)
+    keys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.uint64)
+    ys = np.concatenate(all_ys) if all_ys else np.zeros(0, np.uint64)
+    order = np.lexsort((ys, keys))
+    keys, ys = keys[order], ys[order]
+    uniq, start_idx = np.unique(keys, return_index=True)
+    starts = np.concatenate([start_idx.astype(np.int64), [len(ys)]])
+    return DietIndex(
+        k=k,
+        w=w,
+        pattern=io.pattern,
+        names=names,
+        lengths=np.array(lengths, np.int64),
+        seq_offsets=np.array(offsets, np.int64),
+        codes=np.concatenate(codes_all) if codes_all else np.zeros(0, np.uint8),
+        keys=uniq,
+        starts=starts,
+        positions=ys,
+    )
