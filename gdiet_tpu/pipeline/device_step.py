@@ -1,0 +1,535 @@
+"""Fused single-dispatch device mapping step for the short-read pipeline.
+
+One jitted function runs every device stage of mm_map_frag
+(GDiet-ShortReads/map.c:586-1010) back to back with no host round-trips:
+
+  1. shift inference   — W per-shift sketches + CSR lookups, argmax
+                         (mm_sketch2 + mm_get_shift, sketch.c:2143 /
+                         seed.c:166).
+  2. query sketch      — device sketch at the inferred shift with frag-mode
+                         cap semantics (mm_sketch3, sketch.c:1908).
+  3. seed lookup       — batched binary search in the CSR index
+                         (mm_idx_get, index.c:84).
+  4. hit expansion     — ragged occurrence lists -> [B, A] hit budget,
+                         per-strand diagonal projection + device sort
+                         (collect_seed_hits, map.c:261-355).
+  5. voting            — lax.scan run-vote with top-K + recovery candidate
+                         (vote, map.c:447-584).
+  6. window build      — candidate window geometry (map.c:764-840) and
+                         query/target gathers, on device.
+  7. extension         — exact-match short-circuit (exact_match_sse.c:23)
+                         plus batched banded dual-affine DP (ops/dp.py).
+
+The function also emits per-read *fallback masks* for every condition under
+which the fixed-shape envelope cannot reproduce the reference exactly
+(budget overflows, occurrence-streak selection, query-occ filter); the host
+routes those reads through the scalar oracle. Everything else is finished on
+host (backtrack, CIGAR fix-ups, mm_set_sam_params) from the returned arrays.
+
+This is also the flagship "forward step" used by __graft_entry__ and the
+multi-chip sharded path (parallel/dist.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdiet_tpu import pattern as pat
+from gdiet_tpu.config import MM_F_FRAG_MODE, MapOptions
+from gdiet_tpu.index.build import DietIndex
+from gdiet_tpu.ops import dp as dpk
+from gdiet_tpu.ops.sketch import sketch_emit
+
+U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+U32 = 0xFFFFFFFF
+I64 = jnp.int64
+
+
+@partial(jax.jit, static_argnames=("K", "A"))
+def _vote_scan(
+    keys: jnp.ndarray,  # [B, M] u64 projected targets (stream order)
+    qpos: jnp.ndarray,  # [B, M] i32
+    valid: jnp.ndarray,  # [B, M] bool
+    strand: jnp.ndarray,  # [M] i32 (0 fwd pass, 1 rev pass)
+    vt_distance: jnp.ndarray,  # [B] u64
+    vt_threshold: jnp.ndarray,  # [B] i32
+    vt_rec_threshold: jnp.ndarray,  # [B] i32
+    K: int,
+    A: int,
+):
+    """vote (map.c:447-584) over the concatenated fwd/rev hit stream.
+
+    Returns top-K candidate fields (sorted by score as maintained by the
+    reference's insertion) plus the recovery candidate.
+    """
+    B, M = keys.shape
+    i32 = jnp.int32
+
+    state = {
+        "head_t": jnp.zeros((B,), jnp.uint64),
+        "head_valid": jnp.zeros((B,), bool),
+        "head_str": jnp.zeros((B,), i32),
+        "fq": jnp.zeros((B,), i32),
+        "lq": jnp.zeros((B,), i32),
+        "cnt": jnp.zeros((B,), i32),
+        "k_score": jnp.full((B, K), -1, i32),
+        "k_target": jnp.zeros((B, K), jnp.uint64),
+        "k_fq": jnp.zeros((B, K), i32),
+        "k_lq": jnp.zeros((B, K), i32),
+        "k_str": jnp.zeros((B, K), i32),
+        "out_len": jnp.zeros((B,), i32),
+        "r_score": jnp.zeros((B,), i32),
+        "r_target": jnp.zeros((B,), jnp.uint64),
+        "r_fq": jnp.zeros((B,), i32),
+        "r_lq": jnp.zeros((B,), i32),
+        "r_str": jnp.zeros((B,), i32),
+    }
+
+    def emit(st, do_emit):
+        """Process a finished run (head fields) where do_emit."""
+        cnt, fq, lq = st["cnt"], st["fq"], st["lq"]
+        target, hstr = st["head_t"], st["head_str"]
+        passes = do_emit & (cnt > vt_threshold)
+        full = st["out_len"] == K
+        reject = passes & full & (st["k_score"][:, K - 1] >= cnt)
+        insert = passes & ~reject
+        # position of insertion: out_len (or K-1 when full)
+        pos = jnp.where(full, K - 1, st["out_len"])
+        slot = jnp.arange(K, dtype=i32)[None, :] == pos[:, None]
+        upd = insert[:, None] & slot
+        ks = jnp.where(upd, cnt[:, None], st["k_score"])
+        kt = jnp.where(upd, target[:, None], st["k_target"])
+        kf = jnp.where(upd, fq[:, None], st["k_fq"])
+        kl = jnp.where(upd, lq[:, None], st["k_lq"])
+        kr = jnp.where(upd, hstr[:, None], st["k_str"])
+        # single backward bubble pass == the reference's insertion loop
+        for kk in range(K - 1, 0, -1):
+            swap = insert & (ks[:, kk] > ks[:, kk - 1])
+
+            def sw(arr):
+                a, b = arr[:, kk - 1], arr[:, kk]
+                arr = arr.at[:, kk].set(jnp.where(swap, a, arr[:, kk]))
+                arr = arr.at[:, kk - 1].set(jnp.where(swap, b, arr[:, kk - 1]))
+                return arr
+
+            ks, kt, kf, kl, kr = sw(ks), sw(kt), sw(kf), sw(kl), sw(kr)
+        out_len = jnp.where(insert & ~full, st["out_len"] + 1, st["out_len"])
+        # recovery (map.c:519-531): only while no potentials exist
+        rec = (
+            do_emit
+            & ~passes
+            & (st["out_len"] == 0)
+            & (cnt > vt_rec_threshold)
+            & (cnt > st["r_score"])
+        )
+        st = dict(st)
+        st.update(
+            k_score=ks, k_target=kt, k_fq=kf, k_lq=kl, k_str=kr, out_len=out_len,
+            r_score=jnp.where(rec, cnt, st["r_score"]),
+            r_target=jnp.where(rec, target, st["r_target"]),
+            r_fq=jnp.where(rec, fq, st["r_fq"]),
+            r_lq=jnp.where(rec, lq, st["r_lq"]),
+            r_str=jnp.where(rec, hstr, st["r_str"]),
+        )
+        return st
+
+    def step(st, inp):
+        t, q, ok, sgn = inp
+        in_run = (
+            st["head_valid"]
+            & ok
+            & (sgn == st["head_str"])
+            & ((t - st["head_t"]) <= vt_distance)
+        )
+        # extend run
+        new_fq = jnp.where(in_run & (q < st["fq"]), q, st["fq"])
+        new_head = jnp.where(in_run & (q < st["fq"]), t, st["head_t"])
+        new_lq = jnp.where(in_run & (q > st["lq"]), q, st["lq"])
+        new_cnt = jnp.where(in_run, st["cnt"] + 1, st["cnt"])
+        # a break: head was valid and (invalid element | out of range)
+        brk = st["head_valid"] & ~in_run
+        st2 = emit(st, brk)
+        # start new run at cur (if valid)
+        st2["head_t"] = jnp.where(in_run, new_head, t)
+        st2["fq"] = jnp.where(in_run, new_fq, q)
+        st2["lq"] = jnp.where(in_run, new_lq, q)
+        st2["cnt"] = jnp.where(in_run, new_cnt, 1)
+        st2["head_valid"] = jnp.where(in_run, True, ok)
+        st2["head_str"] = jnp.where(in_run, st["head_str"], sgn)
+        return st2, None
+
+    xs = (keys.T, qpos.T, valid.T, strand)
+    final, _ = jax.lax.scan(step, state, xs)
+    # final flush
+    final = emit(final, final["head_valid"])
+    return {k: v for k, v in final.items() if k.startswith(("k_", "out_len", "r_"))}
+
+
+@partial(jax.jit, static_argnames=("A",))
+def _expand_hits(
+    starts: jnp.ndarray,  # [B, S] i64 CSR starts per kept seed
+    counts: jnp.ndarray,  # [B, S] i64 (0 for dropped seeds)
+    qpos: jnp.ndarray,  # [B, S] i32 (real query position)
+    qstrand: jnp.ndarray,  # [B, S] i32
+    positions: jnp.ndarray,  # [P] u64 index position array
+    extracted_len: jnp.ndarray,  # [B] i32
+    A: int,
+):
+    """Flatten ragged per-seed hit lists to [B, A]; project to diagonal keys
+    (map.c:294-311) and sort each strand."""
+    B, S = starts.shape
+    cum = jnp.cumsum(counts, axis=1)  # [B, S]
+    total = cum[:, -1]
+    a_idx = jnp.arange(A, dtype=jnp.int64)[None, :]
+    sid = jax.vmap(lambda c: jnp.searchsorted(c, a_idx[0], side="right"))(cum)
+    sid_c = jnp.clip(sid, 0, S - 1)
+    prev = jnp.where(sid_c > 0, jnp.take_along_axis(cum, jnp.maximum(sid_c - 1, 0), 1), 0)
+    off_in = a_idx - prev
+    pidx = jnp.take_along_axis(starts, sid_c, 1) + off_in
+    hit = jnp.take(positions, jnp.clip(pidx, 0, len(positions) - 1))
+    ok = a_idx < total[:, None]
+
+    qp = jnp.take_along_axis(qpos, sid_c, 1)
+    qs = jnp.take_along_axis(qstrand, sid_c, 1)
+    strand = (hit & jnp.uint64(1)).astype(jnp.int32) ^ qs
+    loc = ((hit & jnp.uint64(U32)) >> jnp.uint64(1)).astype(jnp.int64)
+    chrom = (hit >> jnp.uint64(32)).astype(jnp.int64)
+    proj_f = (loc + extracted_len[:, None].astype(jnp.int64) - qp.astype(jnp.int64)) & U32
+    proj_r = (loc + qp.astype(jnp.int64)) & U32
+    key_f = (chrom.astype(jnp.uint64) << jnp.uint64(32)) | proj_f.astype(jnp.uint64)
+    key_r = (chrom.astype(jnp.uint64) << jnp.uint64(32)) | proj_r.astype(jnp.uint64)
+    fkey = jnp.where(ok & (strand == 0), key_f, U64_MAX)
+    rkey = jnp.where(ok & (strand == 1), key_r, U64_MAX)
+    fval = ok & (strand == 0)
+    rval = ok & (strand == 1)
+    fkey_s, fq_s, fok_s = jax.lax.sort([fkey, qp, fval], dimension=1, num_keys=1)
+    rkey_s, rq_s, rok_s = jax.lax.sort([rkey, qp, rval], dimension=1, num_keys=1)
+    return fkey_s, fq_s, fok_s, rkey_s, rq_s, rok_s, total
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static (trace-time) configuration of the fused step."""
+
+    k: int
+    w: int
+    pattern: str
+    Lmax: int  # read-length budget
+    S: int  # seed budget (sketch3)
+    S2: int  # per-shift seed budget (sketch2)
+    A: int  # hit budget per strand
+    K: int  # AF_max_loc
+    max_nb_seeds: int  # frag-mode seed cap (or U32)
+    frac_mode: bool  # -i < 1
+    max_seeds: float
+    min_cnt: float
+    rec_frac: float
+    bw_min: int
+    bw_max: int
+    bw_frac: float
+    occ_thresh: int  # int(0.501*occ_dist)+1 (seed.c:66 streak span)
+    q_occ_on: bool
+    mid_occ: int
+    match_a: int
+    params: tuple  # (a, b, q, e, q2, e2)
+    frag_mode: bool
+
+    @classmethod
+    def from_options(
+        cls, mi: DietIndex, mo: MapOptions, mid_occ: int,
+        Lmax: int, S: int, S2: int, A: int,
+    ) -> "StepConfig":
+        frag = bool(mo.flag & MM_F_FRAG_MODE)
+        max_nb = (800 if mo.max_frag_len == 0 else mo.max_frag_len) if frag else U32
+        return cls(
+            k=mi.k, w=mi.w, pattern=mo.pattern, Lmax=Lmax, S=S, S2=S2, A=A,
+            K=mo.AF_max_loc, max_nb_seeds=max_nb, frac_mode=mo.max_seeds < 1,
+            max_seeds=mo.max_seeds, min_cnt=mo.min_cnt,
+            rec_frac=mo.rec_threshold_frac, bw_min=mo.bw_min, bw_max=mo.bw_max,
+            bw_frac=mo.bw_frac, occ_thresh=int(0.501 * mo.occ_dist) + 1,
+            q_occ_on=mo.q_occ_frac > 0, mid_occ=mid_occ, match_a=mo.a,
+            params=(mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2), frag_mode=frag,
+        )
+
+
+def _pattern_tables(cfg: StepConfig):
+    """Per-shift gather maps [W, Dmax] + prefix-ones table [W+1]."""
+    maps = [pat.gather_map(cfg.Lmax, cfg.pattern, s) for s in range(len(cfg.pattern))]
+    Dmax = max(len(m) for m in maps)
+    W = len(cfg.pattern)
+    arr = np.full((W, Dmax), cfg.Lmax - 1, np.int64)
+    for s, m in enumerate(maps):
+        arr[s, : len(m)] = m
+    pref = np.zeros(W + 1, np.int64)
+    for i, c in enumerate(cfg.pattern):
+        pref[i + 1] = pref[i] + (c == "1")
+    return arr, pref, Dmax
+
+
+def _diet_len(lens, shift, pref, W: int):
+    """diet_length (sketch.c:1942-1948) on device: [B] int64."""
+    ones = pref[W]
+    eff = jnp.maximum(lens - shift, 0)
+    return (eff // W) * ones + jnp.take(pref, eff % W)
+
+
+def _to_i32_dev(v):
+    v = v & jnp.int64(U32)
+    return jnp.where(v >= jnp.int64(1 << 31), v - jnp.int64(1 << 32), v)
+
+
+def fused_map_step(
+    codes,  # [B, Lmax] uint8 (255 pad)
+    lens,  # [B] int64
+    idx_keys,  # [Kidx] uint64
+    idx_starts,  # [Kidx+1] int64
+    idx_positions,  # [P] uint64
+    ref_codes,  # [total_ref_len] uint8
+    ref_offsets,  # [n_seq] int64
+    ref_lengths,  # [n_seq] int64
+    maps,  # [W, Dmax] int64 per-shift gather maps
+    pref,  # [W+1] int64 pattern prefix-ones
+    cfg: StepConfig,
+):
+    """The fused forward step. All args are arrays except static ``cfg``."""
+    B = codes.shape[0]
+    W = len(cfg.pattern)
+    k, w = cfg.k, cfg.w
+    rid0 = jnp.zeros((B,), I64)
+
+    def lookup(q):
+        nk = idx_keys.shape[0]
+        i = jnp.searchsorted(idx_keys, q)
+        i_c = jnp.clip(i, 0, max(nk - 1, 0))
+        found = (nk > 0) & (jnp.take(idx_keys, i_c) == q)
+        s = jnp.take(idx_starts, jnp.clip(i, 0, nk))
+        e = jnp.take(idx_starts, jnp.clip(i + 1, 0, nk))
+        return jnp.where(found, s, 0), jnp.where(found, e - s, 0)
+
+    def sketch(diet_codes, diet_len, rp, cap_out):
+        return sketch_emit(
+            diet_codes, diet_len, rp, rid0, k, w, cap_out, final_flush_ge=True
+        )
+
+    fallback = jnp.zeros((B,), bool)
+
+    # ---- phase 1: shift inference (mm_sketch2 + mm_get_shift) ----
+    if cfg.frac_mode:
+        len_crop0 = (lens.astype(jnp.float64) * cfg.max_seeds).astype(I64)
+    nb_hits = []
+    cap_vec = None
+    for s in range(W):
+        lc = len_crop0 if (cfg.frac_mode and s == 0) else lens
+        dlen = _diet_len(lc, s, pref, W)
+        rp = jnp.broadcast_to(maps[s], (B, maps.shape[1]))
+        dc = jnp.take_along_axis(codes, rp, axis=1)
+        xs, ys, _, n = sketch(dc, dlen, rp, cfg.S2)
+        if cfg.frac_mode and s == 0:
+            cap_vec = n  # sketch.c:2219-2222
+            eff = n
+            over = n >= cfg.S2
+        else:
+            cap = cap_vec if cfg.frac_mode else jnp.full((B,), cfg.max_seeds, I64)
+            eff = jnp.minimum(n, cap)
+            over = (n >= cfg.S2) & (cap > cfg.S2)
+        fallback = fallback | over
+        _, cnts = lookup(xs >> jnp.uint64(8))
+        mask = jnp.arange(cfg.S2, dtype=I64)[None, :] < eff[:, None]
+        nb_hits.append((cnts * mask).sum(axis=1))
+    shift = jnp.argmax(jnp.stack(nb_hits), axis=0).astype(I64)  # first max wins
+
+    # ---- phase 2: query sketch (mm_sketch3) ----
+    dlen3 = _diet_len(lens, shift, pref, W)
+    rp3 = jnp.take(maps, shift, axis=0)
+    dc3 = jnp.take_along_axis(codes, rp3, axis=1)
+    xs, ys, _, n3 = sketch(dc3, dlen3, rp3, cfg.S)
+    if cfg.S < cfg.max_nb_seeds:
+        fallback = fallback | (n3 > cfg.S)
+    cap_col = min(cfg.max_nb_seeds, cfg.S) - 1
+    capped = n3 >= cfg.max_nb_seeds
+    extracted = jnp.where(
+        capped,
+        ((ys[:, cap_col] & jnp.uint64(U32)) >> jnp.uint64(1)).astype(I64),
+        lens,
+    )
+    mv_n = jnp.minimum(n3, cfg.max_nb_seeds)
+    if cfg.q_occ_on:
+        # q-occurrence filter is a no-op when mv_n <= mid_occ (seed.c:8)
+        fallback = fallback | (mv_n > cfg.mid_occ)
+
+    # ---- phase 3: seed lookup + hit expansion ----
+    seed_ok = jnp.arange(cfg.S, dtype=I64)[None, :] < jnp.minimum(mv_n, cfg.S)[:, None]
+    starts, cnts = lookup(jnp.where(seed_ok, xs >> jnp.uint64(8), U64_MAX))
+    # exact occurrence-streak selection can differ for long reads (seed.c:66)
+    span_possible = lens >= cfg.occ_thresh
+    has_high = (cnts > cfg.mid_occ).any(axis=1)
+    fallback = fallback | (span_possible & has_high)
+    kept = seed_ok & (cnts > 0) & (cnts <= cfg.mid_occ)
+    kcounts = jnp.where(kept, cnts, 0)
+    fallback = fallback | (kcounts.sum(axis=1) > cfg.A)
+
+    qpos = ((ys & jnp.uint64(U32)) >> jnp.uint64(1)).astype(jnp.int32)
+    qstrand = (ys & jnp.uint64(1)).astype(jnp.int32)
+    fk, fq, fok, rk, rq, rok, _ = _expand_hits(
+        starts.astype(I64), kcounts.astype(I64), qpos, qstrand,
+        idx_positions, extracted.astype(jnp.int32), cfg.A,
+    )
+
+    # ---- phase 4: voting ----
+    bw = (lens.astype(jnp.float64) * cfg.bw_frac).astype(I64)
+    bw = jnp.clip(bw, cfg.bw_min, cfg.bw_max)
+    capped_mask = capped & jnp.bool_(cfg.frag_mode) & (extracted < lens)
+    vt_thr = jnp.where(
+        capped_mask,
+        jnp.int64(int(cfg.max_nb_seeds * cfg.min_cnt)),
+        (mv_n.astype(jnp.float64) * cfg.min_cnt).astype(I64),
+    )
+    vt_thr = jnp.maximum(vt_thr, 1)
+    vt_rec = jnp.where(
+        capped_mask,
+        jnp.int64(int(cfg.max_nb_seeds * cfg.rec_frac)),
+        (mv_n.astype(jnp.float64) * cfg.rec_frac).astype(I64),
+    )
+    barrier = jnp.full((B, 1), U64_MAX, jnp.uint64)
+    bq = jnp.zeros((B, 1), jnp.int32)
+    bok = jnp.zeros((B, 1), bool)
+    keys = jnp.concatenate([fk, barrier, rk, barrier], axis=1)
+    qv = jnp.concatenate([fq, bq, rq, bq], axis=1)
+    okv = jnp.concatenate([fok, bok, rok, bok], axis=1)
+    strand_stream = jnp.concatenate(
+        [jnp.zeros(cfg.A + 1, jnp.int32), jnp.ones(cfg.A + 1, jnp.int32)]
+    )
+    vt = _vote_scan(
+        keys, qv, okv, strand_stream,
+        bw.astype(jnp.uint64), vt_thr.astype(jnp.int32), vt_rec.astype(jnp.int32),
+        cfg.K, cfg.A,
+    )
+
+    # ---- phase 5: candidate construction (top-K + recovery substitution) ----
+    K = cfg.K
+    use_rec = (vt["out_len"] == 0) & (vt["r_score"] > 0)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    c_valid = jnp.where(use_rec[:, None], slot == 0, slot < vt["out_len"][:, None])
+    c_tgt = jnp.where(use_rec[:, None], vt["r_target"][:, None], vt["k_target"])
+    c_str = jnp.where(use_rec[:, None], vt["r_str"][:, None], vt["k_str"])
+    c_score = jnp.where(use_rec[:, None], vt["r_score"][:, None], vt["k_score"])
+
+    off = jnp.where(c_str != 0, jnp.int64(0), -extracted[:, None])
+    loc = _to_i32_dev((c_tgt & jnp.uint64(U32)).astype(I64) + off)
+    loc = jnp.where(c_str != 0, loc - (k - 1), loc)
+
+    # ---- phase 6: window geometry (map.c:764-840) ----
+    chrom = (c_tgt >> jnp.uint64(32)).astype(I64)
+    chrom_c = jnp.clip(chrom, 0, max(ref_lengths.shape[0] - 1, 0))
+    tlen = jnp.take(ref_lengths, chrom_c)
+    qlen = lens[:, None]
+    # reverse strand
+    te_r0 = loc
+    so_r = jnp.maximum(te_r0 - (tlen - 1), 0)
+    te_r1 = jnp.minimum(te_r0, tlen - 1)
+    cond_r = te_r1 < qlen - so_r - 1
+    eo_r = jnp.where(cond_r, so_r + te_r1, qlen - 1)
+    ts_r = jnp.where(cond_r, jnp.int64(0), te_r1 - (eo_r - so_r))
+    te_r = te_r1
+    # forward strand
+    ts_f0 = loc
+    so_f = jnp.maximum(-ts_f0, 0)
+    ts_f1 = jnp.maximum(ts_f0, 0)
+    cond_f = (tlen - ts_f1) < (qlen - so_f)
+    eo_f = jnp.where(cond_f, tlen - 1 - ts_f1 + so_f, qlen - 1)
+    te_f = jnp.where(cond_f, tlen - 1, ts_f1 + (eo_f - so_f))
+    ts_f = ts_f1
+
+    rev = c_str != 0
+    so = jnp.where(rev, so_r, so_f)
+    eo = jnp.where(rev, eo_r, eo_f)
+    ts = jnp.where(rev, ts_r, ts_f)
+    te = jnp.where(rev, te_r, te_f)
+    length = eo - so + 1
+    bad = (length <= 0) | (length > cfg.Lmax) | (ts < 0)
+    fallback = fallback | (c_valid & bad).any(axis=1)
+    live = c_valid & ~bad
+
+    # ---- phase 7: window gathers ----
+    j = jnp.arange(cfg.Lmax, dtype=I64)[None, None, :]  # [1, 1, L]
+    in_win = j < length[:, :, None]
+    qi = jnp.where(rev[:, :, None], eo[:, :, None] - j, so[:, :, None] + j)
+    qi_c = jnp.clip(qi, 0, cfg.Lmax - 1)
+    bidx = jnp.arange(B, dtype=I64)[:, None, None]
+    qg = jnp.take(
+        codes.reshape(-1).astype(jnp.int32), bidx * cfg.Lmax + qi_c
+    )
+    qg = jnp.where(rev[:, :, None], qg ^ 3, qg)
+    qbuf = jnp.where(in_win & live[:, :, None], qg, 0).astype(jnp.uint8)
+    gidx = jnp.take(ref_offsets, chrom_c)[:, :, None] + ts[:, :, None] + j
+    tg = jnp.take(ref_codes, jnp.clip(gidx, 0, max(ref_codes.shape[0] - 1, 0)))
+    tbuf = jnp.where(in_win & live[:, :, None], tg, 0).astype(jnp.uint8)
+
+    # ---- phase 8: exact-match + banded DP ----
+    exact = (qlen < 300) & live & (qbuf == tbuf).all(axis=2)
+    dp_lens = jnp.where(exact | ~live, 0, length).astype(jnp.int32)
+    N = B * K
+    params = jnp.asarray(np.array(cfg.params, np.int32))
+    score, dirs, offs, off_ends = dpk.extd2_batch(
+        qbuf.reshape(N, cfg.Lmax), tbuf.reshape(N, cfg.Lmax),
+        dp_lens.reshape(N), jnp.broadcast_to(bw[:, None], (B, K)).reshape(N).astype(jnp.int32),
+        params, cfg.Lmax,
+    )
+    score = score.reshape(B, K)
+    score = jnp.where(exact, (qlen * cfg.match_a).astype(jnp.int32), score)
+
+    return {
+        "shift": shift,
+        "extracted": extracted,
+        "fallback": fallback,
+        "c_valid": live,
+        "c_score": c_score,
+        "c_strand": c_str,
+        "chrom": chrom,
+        "so": so,
+        "eo": eo,
+        "ts": ts,
+        "te": te,
+        "length": length,
+        "exact": exact,
+        "dp_score": score,
+        "dirs": dirs,
+        "offs": offs,
+        "off_ends": off_ends,
+        "dp_lens": dp_lens,
+        "qbuf": qbuf,
+        "tbuf": tbuf,
+    }
+
+
+class FusedMapper:
+    """Holds device index arrays + the jitted fused step for one config."""
+
+    def __init__(self, index: DietIndex, mo: MapOptions,
+                 Lmax: int = 256, S: int = 160, S2: int = 64, A: int = 2048):
+        mid_occ = index.derive_mid_occ(mo)
+        # seeds can never exceed the diet length of the longest read
+        dmax = pat.diet_length(Lmax, mo.pattern, 0)
+        self.cfg = StepConfig.from_options(
+            index, mo, mid_occ, Lmax, min(S, dmax), min(S2, dmax), A
+        )
+        maps, pref, _ = _pattern_tables(self.cfg)
+        self.arrays = dict(
+            idx_keys=jnp.asarray(index.keys),
+            idx_starts=jnp.asarray(index.starts),
+            idx_positions=jnp.asarray(index.positions),
+            ref_codes=jnp.asarray(index.codes),
+            ref_offsets=jnp.asarray(index.seq_offsets),
+            ref_lengths=jnp.asarray(index.lengths),
+            maps=jnp.asarray(maps),
+            pref=jnp.asarray(pref),
+        )
+        self._jit = jax.jit(partial(fused_map_step, cfg=self.cfg))
+
+    def __call__(self, codes: jnp.ndarray, lens: jnp.ndarray) -> dict:
+        return self._jit(codes, lens, **self.arrays)
