@@ -1,0 +1,150 @@
+"""Multi-chip mapping: data-parallel reads x key-range-sharded index.
+
+The reference is a single pthread process; its only multi-shard construct is
+the multi-part index whose per-part hits are merged on disk
+(GDiet-ShortReads/splitidx.c, map.c:1094-1163). The TPU-native design
+replaces that with a 2-D device mesh (SURVEY.md §2.6/§5.8):
+
+  data axis — read batches are sharded across devices (the kt_for analog);
+  ref axis  — the CSR minimizer index is split into contiguous key ranges,
+              one shard per device. Seed lookups run against the local shard
+              only; global per-seed occurrence counts come from a ``psum``
+              and per-shard hit streams are merged with ``all_gather`` +
+              re-sort before voting (the device analog of merge_hits).
+
+Everything runs inside one ``shard_map`` over the fused step
+(pipeline/device_step.py), so XLA schedules the collectives on ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gdiet_tpu.index.build import DietIndex
+from gdiet_tpu.pipeline.device_step import StepConfig, _pattern_tables, fused_map_step
+
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def make_mesh(n_data: int, n_ref: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_data * n_ref, "not enough devices for mesh"
+    return Mesh(devices[: n_data * n_ref].reshape(n_data, n_ref), ("data", "ref"))
+
+
+class ShardedIndex:
+    """Key-range split of a DietIndex CSR into n_ref padded shards.
+
+    Every occurrence list stays whole on its owning shard, so local counts
+    are exact (0 on non-owners) and the psum of local counts is the global
+    occurrence count.
+    """
+
+    def __init__(self, index: DietIndex, n_ref: int):
+        K = len(index.keys)
+        bounds = [K * i // n_ref for i in range(n_ref + 1)]
+        kpad = max(bounds[i + 1] - bounds[i] for i in range(n_ref)) if n_ref else 0
+        ppad = 1
+        shards = []
+        for i in range(n_ref):
+            lo, hi = bounds[i], bounds[i + 1]
+            pos_lo, pos_hi = int(index.starts[lo]), int(index.starts[hi])
+            shards.append(
+                (
+                    index.keys[lo:hi],
+                    (index.starts[lo : hi + 1] - pos_lo).astype(np.int64),
+                    index.positions[pos_lo:pos_hi],
+                )
+            )
+            ppad = max(ppad, pos_hi - pos_lo)
+        keys = np.full((n_ref, max(kpad, 1)), U64_MAX, np.uint64)
+        starts = np.zeros((n_ref, max(kpad, 1) + 1), np.int64)
+        positions = np.zeros((n_ref, ppad), np.uint64)
+        for i, (k, s, p) in enumerate(shards):
+            keys[i, : len(k)] = k
+            starts[i, : len(s)] = s
+            starts[i, len(s) :] = len(p)  # padded keys get zero counts
+            positions[i, : len(p)] = p
+        self.n_ref = n_ref
+        self.keys = keys
+        self.starts = starts
+        self.positions = positions
+
+
+def sharded_step(
+    mesh: Mesh,
+    index: DietIndex,
+    cfg: StepConfig,
+    maps: np.ndarray,
+    pref: np.ndarray,
+):
+    """Build the jitted multi-chip mapping step over ``mesh``.
+
+    Returns fn(codes [B, Lmax], lens [B]) -> per-read outputs, with B a
+    multiple of the data-axis size.
+    """
+    n_ref = mesh.shape["ref"]
+    sh = ShardedIndex(index, n_ref)
+    arrays = dict(
+        idx_keys=jnp.asarray(sh.keys),
+        idx_starts=jnp.asarray(sh.starts),
+        idx_positions=jnp.asarray(sh.positions),
+        ref_codes=jnp.asarray(index.codes),
+        ref_offsets=jnp.asarray(index.seq_offsets),
+        ref_lengths=jnp.asarray(index.lengths),
+        maps=jnp.asarray(maps),
+        pref=jnp.asarray(pref),
+    )
+
+    def local(codes, lens, idx_keys, idx_starts, idx_positions,
+              ref_codes, ref_offsets, ref_lengths, maps_, pref_):
+        return fused_map_step(
+            codes, lens,
+            idx_keys[0], idx_starts[0], idx_positions[0],
+            ref_codes, ref_offsets, ref_lengths, maps_, pref_,
+            cfg=cfg, ref_axis="ref", n_ref=n_ref, return_dirs=False,
+        )
+
+    shard_fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"),
+            P("ref"), P("ref"), P("ref"),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(codes, lens):
+        return shard_fn(
+            codes, lens,
+            arrays["idx_keys"], arrays["idx_starts"], arrays["idx_positions"],
+            arrays["ref_codes"], arrays["ref_offsets"], arrays["ref_lengths"],
+            arrays["maps"], arrays["pref"],
+        )
+
+    return step
+
+
+def build_sharded_mapper(index: DietIndex, mo, mesh: Mesh,
+                         Lmax: int = 256, S: int = 160, S2: int = 64,
+                         A: int = 1024):
+    """Convenience: StepConfig + pattern tables + sharded step for (index, mo)."""
+    from gdiet_tpu import pattern as pat
+
+    mid_occ = index.derive_mid_occ(mo)
+    dmax = pat.diet_length(Lmax, mo.pattern, 0)
+    cfg = StepConfig.from_options(
+        index, mo, mid_occ, Lmax, min(S, dmax), min(S2, dmax), A
+    )
+    maps, pref, _ = _pattern_tables(cfg)
+    return cfg, sharded_step(mesh, index, cfg, maps, pref)

@@ -295,8 +295,18 @@ def fused_map_step(
     maps,  # [W, Dmax] int64 per-shift gather maps
     pref,  # [W+1] int64 pattern prefix-ones
     cfg: StepConfig,
+    ref_axis: str | None = None,
+    n_ref: int = 1,
+    return_dirs: bool = True,
 ):
-    """The fused forward step. All args are arrays except static ``cfg``."""
+    """The fused forward step. All args are arrays except static ``cfg``.
+
+    When ``ref_axis`` is set the index arrays are one key-range shard of the
+    CSR index per device along that mesh axis: per-seed occurrence counts are
+    combined with ``psum`` and per-shard expanded hit streams are merged with
+    ``all_gather`` + re-sort — the device analog of the reference's
+    split-index merge (map.c:1094-1163, splitidx.c).
+    """
     B = codes.shape[0]
     W = len(cfg.pattern)
     k, w = cfg.k, cfg.w
@@ -339,6 +349,8 @@ def fused_map_step(
             over = (n >= cfg.S2) & (cap > cfg.S2)
         fallback = fallback | over
         _, cnts = lookup(xs >> jnp.uint64(8))
+        if ref_axis is not None:
+            cnts = jax.lax.psum(cnts, ref_axis)
         mask = jnp.arange(cfg.S2, dtype=I64)[None, :] < eff[:, None]
         nb_hits.append((cnts * mask).sum(axis=1))
     shift = jnp.argmax(jnp.stack(nb_hits), axis=0).astype(I64)  # first max wins
@@ -364,14 +376,19 @@ def fused_map_step(
 
     # ---- phase 3: seed lookup + hit expansion ----
     seed_ok = jnp.arange(cfg.S, dtype=I64)[None, :] < jnp.minimum(mv_n, cfg.S)[:, None]
-    starts, cnts = lookup(jnp.where(seed_ok, xs >> jnp.uint64(8), U64_MAX))
+    starts, cnts_local = lookup(jnp.where(seed_ok, xs >> jnp.uint64(8), U64_MAX))
+    cnts = (
+        jax.lax.psum(cnts_local, ref_axis) if ref_axis is not None else cnts_local
+    )
     # exact occurrence-streak selection can differ for long reads (seed.c:66)
     span_possible = lens >= cfg.occ_thresh
     has_high = (cnts > cfg.mid_occ).any(axis=1)
     fallback = fallback | (span_possible & has_high)
     kept = seed_ok & (cnts > 0) & (cnts <= cfg.mid_occ)
-    kcounts = jnp.where(kept, cnts, 0)
-    fallback = fallback | (kcounts.sum(axis=1) > cfg.A)
+    fallback = fallback | (jnp.where(kept, cnts, 0).sum(axis=1) > cfg.A)
+    # key-range sharding keeps all occurrences of a key on one shard, so the
+    # local expansion counts are the owning shard's counts (0 elsewhere)
+    kcounts = jnp.where(kept, cnts_local, 0)
 
     qpos = ((ys & jnp.uint64(U32)) >> jnp.uint64(1)).astype(jnp.int32)
     qstrand = (ys & jnp.uint64(1)).astype(jnp.int32)
@@ -379,6 +396,18 @@ def fused_map_step(
         starts.astype(I64), kcounts.astype(I64), qpos, qstrand,
         idx_positions, extracted.astype(jnp.int32), cfg.A,
     )
+    A_stream = cfg.A
+    if ref_axis is not None:
+        A_stream = cfg.A * n_ref
+
+        def merge(key, q, okm):
+            keyg = jax.lax.all_gather(key, ref_axis, axis=1, tiled=True)
+            qg_ = jax.lax.all_gather(q, ref_axis, axis=1, tiled=True)
+            okg = jax.lax.all_gather(okm, ref_axis, axis=1, tiled=True)
+            return jax.lax.sort([keyg, qg_, okg], dimension=1, num_keys=1)
+
+        fk, fq, fok = merge(fk, fq, fok)
+        rk, rq, rok = merge(rk, rq, rok)
 
     # ---- phase 4: voting ----
     bw = (lens.astype(jnp.float64) * cfg.bw_frac).astype(I64)
@@ -402,12 +431,12 @@ def fused_map_step(
     qv = jnp.concatenate([fq, bq, rq, bq], axis=1)
     okv = jnp.concatenate([fok, bok, rok, bok], axis=1)
     strand_stream = jnp.concatenate(
-        [jnp.zeros(cfg.A + 1, jnp.int32), jnp.ones(cfg.A + 1, jnp.int32)]
+        [jnp.zeros(A_stream + 1, jnp.int32), jnp.ones(A_stream + 1, jnp.int32)]
     )
     vt = _vote_scan(
         keys, qv, okv, strand_stream,
         bw.astype(jnp.uint64), vt_thr.astype(jnp.int32), vt_rec.astype(jnp.int32),
-        cfg.K, cfg.A,
+        cfg.K, A_stream,
     )
 
     # ---- phase 5: candidate construction (top-K + recovery substitution) ----
@@ -483,7 +512,7 @@ def fused_map_step(
     score = score.reshape(B, K)
     score = jnp.where(exact, (qlen * cfg.match_a).astype(jnp.int32), score)
 
-    return {
+    out = {
         "shift": shift,
         "extracted": extracted,
         "fallback": fallback,
@@ -498,13 +527,15 @@ def fused_map_step(
         "length": length,
         "exact": exact,
         "dp_score": score,
-        "dirs": dirs,
-        "offs": offs,
-        "off_ends": off_ends,
         "dp_lens": dp_lens,
         "qbuf": qbuf,
         "tbuf": tbuf,
     }
+    if return_dirs:
+        # [R, N, T] scan-major direction bytes for the host backtrack; not
+        # returned on the multi-chip path (scores suffice for merging)
+        out.update(dirs=dirs, offs=offs, off_ends=off_ends)
+    return out
 
 
 class FusedMapper:

@@ -115,15 +115,30 @@ class ShortReadMapper:
         mo = self.mo
         B = len(lens_np)
         out = self.fused(jnp.asarray(codes_np), jnp.asarray(lens_np))
+        dirs_dev = out.pop("dirs")
+        offs_dev = out.pop("offs")
+        off_ends_dev = out.pop("off_ends")
         out = {k: np.asarray(v) for k, v in out.items()}
         K = self.fused.cfg.K
         Lmax = self.Lmax
 
         fallback = out["fallback"]
         live = out["c_valid"] & ~fallback[:, None]
-        cigs = dpk.backtrack_batch(
-            out["dirs"], out["offs"], out["off_ends"], out["dp_lens"].reshape(-1)
-        )
+        # fetch direction bytes only for candidates that need a backtrack
+        # (exact matches and dead slots have dp_len 0) — the full dirs tensor
+        # is large and stays on device
+        dp_lens_flat = out["dp_lens"].reshape(-1)
+        need = np.where((live.reshape(-1)) & (dp_lens_flat > 0))[0]
+        cigs_by_n: dict[int, list] = {}
+        if len(need):
+            sel = jnp.asarray(need)
+            sub = dpk.backtrack_batch(
+                np.asarray(jnp.take(dirs_dev, sel, axis=1)),
+                np.asarray(jnp.take(offs_dev, sel, axis=1)),
+                np.asarray(jnp.take(off_ends_dev, sel, axis=1)),
+                dp_lens_flat[need],
+            )
+            cigs_by_n = dict(zip(need.tolist(), sub))
 
         regs_per_read: list[list[oal.Reg]] = [[] for _ in range(B)]
         qbuf = out["qbuf"].reshape(B * K, Lmax)
@@ -146,7 +161,7 @@ class ShortReadMapper:
                     cigar = [(length, oal.CIGAR_MATCH)]
                 else:
                     ez_score = int(out["dp_score"][i, c])
-                    cigar = cigs[n]
+                    cigar = cigs_by_n.get(n, [])
                 r = oal.Reg(
                     rid=int(out["chrom"][i, c]), score=ez_score, qs=so, qe=eo + 1,
                     rs=ts, re=te + 1, rev=rev, cigar=list(cigar),

@@ -16,6 +16,11 @@ import pathlib
 import jax
 import pytest
 
+# jax may already be imported by a pytest plugin, in which case the env var
+# above is read too late — force the platform through the config as well
+# (backends initialize lazily, so this still lands before device creation).
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache: device tests recompile nothing on repeat runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gdiet")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
