@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""End-to-end short-read mapping benchmark on one TPU chip.
+
+Workload: synthetic 2 Mbp genome + 150 bp Illumina-like reads (0.5% subs),
+mapped with the reference's published sr benchmark preset
+(/root/reference/README.md:41: -x sr -Z 10 -W 2 -k 21 -w 11 -i 2 -N 1
+-r 0.05,150,200 -n 0.95,0.3 -s 100 --AF_max_loc 2).
+
+Baseline: the reference GDiet binary (built from /root/reference source into
+/tmp) mapping the same reads single-threaded from a prebuilt index. Both
+sides are timed on mapping only (index prebuilt), including SAM formatting.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = pathlib.Path("/tmp/gdiet_bench")
+REF_SRC = "/root/reference/GDiet-ShortReads"
+REF_BUILD = pathlib.Path("/tmp/gdiet_ref/SR")
+
+GENOME_LEN = 2_000_000
+N_READS = 20_000
+READ_LEN = 150
+SUB_RATE = 0.005
+SEED = 20260816
+
+REF_ARGS = [
+    "-a", "-t", "1", "-x", "sr", "-Z", "10", "-W", "2", "-k", "21", "-w", "11",
+    "-i", "2", "-N", "1", "-r", "0.05,150,200", "-n", "0.95,0.3", "-s", "100",
+    "--AF_max_loc", "2",
+]
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def gen_data():
+    BENCH_DIR.mkdir(parents=True, exist_ok=True)
+    fa = BENCH_DIR / "ref.fa"
+    fq = BENCH_DIR / "reads.fq"
+    if fa.exists() and fq.exists():
+        return fa, fq
+    rng = np.random.default_rng(SEED)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = rng.integers(0, 4, GENOME_LEN, dtype=np.int64)
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        seq = bases[genome].tobytes().decode()
+        for i in range(0, GENOME_LEN, 80):
+            f.write(seq[i : i + 80] + "\n")
+    with open(fq, "w") as f:
+        for n in range(N_READS):
+            st = int(rng.integers(0, GENOME_LEN - READ_LEN))
+            r = genome[st : st + READ_LEN].copy()
+            nsub = rng.binomial(READ_LEN, SUB_RATE)
+            for _ in range(nsub):
+                p = int(rng.integers(0, READ_LEN))
+                r[p] = (r[p] + int(rng.integers(1, 4))) % 4
+            if rng.random() < 0.5:  # reverse strand
+                r = 3 - r[::-1]
+            f.write(f"@r{n}\n{bases[r].tobytes().decode()}\n+\n{'I' * READ_LEN}\n")
+    log(f"generated {fa} and {fq}")
+    return fa, fq
+
+
+def build_reference_binary() -> pathlib.Path | None:
+    exe = REF_BUILD / "GDiet"
+    if exe.exists():
+        return exe
+    try:
+        REF_BUILD.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(["cp", "-r", REF_SRC, str(REF_BUILD)], check=True)
+        subprocess.run(
+            ["make", "GDiet"], cwd=REF_BUILD, check=True,
+            capture_output=True, timeout=600,
+        )
+        return exe if exe.exists() else None
+    except Exception as e:  # baseline is best-effort; bench still reports
+        log(f"reference build failed: {e}")
+        return None
+
+
+def baseline_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> float | None:
+    cache = BENCH_DIR / "baseline.json"
+    if cache.exists():
+        return json.loads(cache.read_text())["reads_per_sec"]
+    exe = build_reference_binary()
+    if exe is None:
+        return None
+    idx = BENCH_DIR / "ref.gdi.mmi"
+    if not idx.exists():
+        subprocess.run(
+            [str(exe), *REF_ARGS, "-d", str(idx), str(fa)],
+            check=True, capture_output=True, timeout=600,
+        )
+    t0 = time.perf_counter()
+    subprocess.run(
+        [str(exe), *REF_ARGS, "-o", str(BENCH_DIR / "ref_out.sam"), str(idx), str(fq)],
+        check=True, capture_output=True, timeout=1800,
+    )
+    dt = time.perf_counter() - t0
+    rps = N_READS / dt
+    cache.write_text(json.dumps({"reads_per_sec": rps, "seconds": dt}))
+    log(f"reference GDiet: {dt:.2f}s -> {rps:.0f} reads/s")
+    return rps
+
+
+def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
+    import gdiet_tpu  # noqa: F401
+    import jax
+
+    from gdiet_tpu.config import MM_F_NO_PRINT_2ND, options_for
+    from gdiet_tpu.index.build import DietIndex, build_index
+    from gdiet_tpu.io import sam as samio
+    from gdiet_tpu.io.fastx import read_fastx
+    from gdiet_tpu.pipeline import ShortReadMapper
+
+    io_, mo = options_for(
+        "sr", pattern="10", max_seeds=2.0, best_n=1, bw_frac=0.05,
+        bw_min=150, bw_max=200, min_cnt=0.95, rec_threshold_frac=0.3,
+        min_dp_max=100, AF_max_loc=2,
+    )
+    idx_path = BENCH_DIR / "ours.gdi.npz"
+    if idx_path.exists():
+        mi = DietIndex.load(str(idx_path))
+    else:
+        t0 = time.perf_counter()
+        refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
+        mi = build_index(refs, io_)
+        log(f"index build: {time.perf_counter() - t0:.1f}s")
+        mi.save(str(idx_path))
+
+    reads = list(read_fastx(str(fq)))
+    B = 1024
+    Lmax = 192
+    mapper = ShortReadMapper(mi, mo, max_read_len=Lmax, hit_budget=1024)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    mapper.map_batch(reads[:B])
+    log(f"compile+warmup batch: {time.perf_counter() - t0:.1f}s")
+
+    out_lines = []
+    n_fallback = 0
+    t0 = time.perf_counter()
+    for s in range(0, len(reads), B):
+        batch = reads[s : s + B]
+        results = mapper.map_batch(batch)
+        for rec, regs in zip(batch, results):
+            if regs:
+                for r in regs:
+                    if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                        continue
+                    out_lines.append(
+                        samio.sam_record(rec.name, rec.seq, rec.qual, r, regs,
+                                         mi.names, mo.flag, 0)
+                    )
+            else:
+                out_lines.append(
+                    samio.sam_record(rec.name, rec.seq, rec.qual, None, [],
+                                     mi.names, mo.flag, 0)
+                )
+    dt = time.perf_counter() - t0
+    (BENCH_DIR / "ours_out.sam").write_text(
+        samio.sam_header(mi.names, [int(x) for x in mi.lengths])
+        + "\n".join(out_lines) + "\n"
+    )
+    rps = len(reads) / dt
+    stats = {
+        "seconds": dt,
+        "n_reads": len(reads),
+        "n_records": len(out_lines),
+        "fallback_reads": n_fallback,
+        "platform": jax.devices()[0].platform,
+    }
+    log(f"gdiet_tpu: {dt:.2f}s -> {rps:.0f} reads/s on {stats['platform']}")
+    return rps, stats
+
+
+def check_parity() -> float | None:
+    """Fraction of identical SAM body lines between ours and the reference."""
+    ref_sam = BENCH_DIR / "ref_out.sam"
+    our_sam = BENCH_DIR / "ours_out.sam"
+    if not (ref_sam.exists() and our_sam.exists()):
+        return None
+    ref_lines = [l for l in ref_sam.read_text().splitlines() if not l.startswith("@")]
+    our_lines = [l for l in our_sam.read_text().splitlines() if not l.startswith("@")]
+    if len(ref_lines) != len(our_lines):
+        log(f"parity: record count differs ({len(ref_lines)} vs {len(our_lines)})")
+        return 0.0
+    same = sum(a == b for a, b in zip(ref_lines, our_lines))
+    frac = same / max(len(ref_lines), 1)
+    log(f"parity: {same}/{len(ref_lines)} identical SAM records ({frac:.4f})")
+    return frac
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet")
+    fa, fq = gen_data()
+    base = baseline_reads_per_sec(fa, fq)
+    ours, stats = our_reads_per_sec(fa, fq)
+    parity = check_parity()
+    result = {
+        "metric": "sr_reads_per_sec_1chip",
+        "value": round(ours, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(ours / base, 3) if base else None,
+    }
+    if parity is not None:
+        stats["sam_parity"] = round(parity, 4)
+    log(f"stats: {json.dumps(stats)}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

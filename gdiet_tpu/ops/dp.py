@@ -40,8 +40,8 @@ def extd2_batch(
     params: jnp.ndarray,  # [6] int32: a, b, q, e, q2, e2 (b positive)
     Lmax: int,
 ):
-    """Returns (score [N] int32, dirs [R, N, T] uint8, offs [R, N] int32,
-    off_ends [R, N] int32) with R = 2*Lmax-1, T = Lmax rounded up to 16.
+    """Returns (score [N] int32, dirs [N, R, T] uint8, offs [N, R] int32,
+    off_ends [N, R] int32) with R = 2*Lmax-1, T = Lmax rounded up to 16.
 
     Candidates with lens[i] == 0 produce score NEG_INF.
     """
@@ -232,13 +232,14 @@ def extd2_batch(
         step, init, jnp.arange(R, dtype=jnp.int32)
     )
     score = carry[-1]
-    return score, dirs, offs, off_ends
+    # candidate-major layout (matches the Pallas kernel)
+    return score, dirs.transpose(1, 0, 2), offs.T, off_ends.T
 
 
 def backtrack_batch(
-    dirs: np.ndarray,  # [R, N, T] uint8
-    offs: np.ndarray,  # [R, N]
-    off_ends: np.ndarray,  # [R, N]
+    dirs: np.ndarray,  # [N, R, T] uint8
+    offs: np.ndarray,  # [N, R]
+    off_ends: np.ndarray,  # [N, R]
     lens: np.ndarray,  # [N]
 ) -> list[list[tuple[int, int]]]:
     """Vectorized ksw_backtrack (ksw2.h:131-163) from the terminal corner.
@@ -256,13 +257,13 @@ def backtrack_batch(
     step_idx = np.zeros(N, np.int64)
     while active.any():
         r = i + j
-        rc = np.clip(r, 0, dirs.shape[0] - 1)
-        off_r = offs[rc, np.arange(N)]
-        off_end_r = off_ends[rc, np.arange(N)]
+        rc = np.clip(r, 0, dirs.shape[1] - 1)
+        off_r = offs[np.arange(N), rc]
+        off_end_r = off_ends[np.arange(N), rc]
         force_state = np.full(N, -1, np.int64)
         force_state = np.where(i < off_r, 2, force_state)
         force_state = np.where(i > off_end_r, 1, force_state)
-        tmp = dirs[rc, np.arange(N), np.clip(i, 0, ncol - 1)].astype(np.int64)
+        tmp = dirs[np.arange(N), rc, np.clip(i, 0, ncol - 1)].astype(np.int64)
         tmp = np.where(force_state >= 0, 0, tmp)
         state = np.where(state == 0, tmp & 7, np.where((tmp >> (state + 2)) & 1, state, 0))
         state = np.where(state == 0, tmp & 7, state)

@@ -1,0 +1,317 @@
+"""Pallas TPU kernel for the batched banded dual affine-gap DP.
+
+Same recurrence as ops/dp.py::extd2_batch (the Suzuki-Kasahara difference
+formulation of ksw_extd2, GDiet-ShortReads/ksw2_extd2_sse.c:34-402) but with
+the anti-diagonal state held in VMEM scratch across a (candidate-block,
+wavefront) grid: TPU grid steps execute sequentially per core, so the r-axis
+of the grid IS the wavefront loop, each step writing its direction bytes to
+its own [1, NB, T] output block (pipelined to HBM by Mosaic). The XLA scan
+version round-trips ~12 carry arrays through HBM per step; this kernel
+touches HBM once for inputs and once per dirs slice.
+
+The anti-diagonal substitution lookup needs query[r-t] per lane t; since the
+wavefront advances by exactly one lane per step, that vector is maintained in
+scratch: roll right by one lane, inject query[r] at lane 0 (the C code's
+reversed-query trick, ksw2_extd2_sse.c:105-147, without the copy).
+
+Bit-identical to ops/dp.py (asserted by tests/test_dp_pallas.py in
+interpreter mode and on hardware by the SAM-parity bench): 16-lane stale
+block behavior, boundary fallbacks, greedy approx-max H0 tracking, direction
+bit packing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0x40000000
+NB = 16  # candidates per grid program (VPU sublane multiple)
+
+# columns of the per-row scalar scratch (sc_s[NB, 128])
+_H0, _LT, _LST, _LEN, _SCORE = 0, 1, 2, 3, 4
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _row_gather(arr, idx, lanes):
+    """arr[row, idx[row]] for clipped per-row indices, via masked reduction."""
+    T = arr.shape[1]
+    idx_c = jnp.clip(idx, 0, T - 1)
+    return jnp.sum(
+        jnp.where(lanes == idx_c, arr, 0), axis=1, keepdims=True, dtype=arr.dtype
+    )
+
+
+def _dp_kernel(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
+               u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s, *, T, scoring):
+    # Mosaic has no 64-bit ints; under x64 python literals in clip/where///
+    # trace to i64 scalars whose i64->i32 converts fail to lower. All kernel
+    # inputs are 32-bit, so tracing with x64 off keeps everything i32.
+    with jax.enable_x64(False):
+        _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
+                        u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
+                        T=T, scoring=scoring)
+
+
+def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
+                    u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
+                    *, T, scoring):
+    a, b, q, e, q2, e2, long_thres, long_diff = scoring
+    i32 = jnp.int32
+    r = pl.program_id(1).astype(i32)
+    R = pl.num_programs(1)
+
+    # all literals must be i32-typed: weak python ints inside jnp.where
+    # default to i64 under x64
+    qe_init = jnp.int32(-(q + e))
+    qe2_init = jnp.int32(-(q2 + e2))
+    c_mch = jnp.int32(a)
+    c_mis = jnp.int32(-b)
+    c_n = jnp.int32(-e2)
+    c_e = jnp.int32(-e)
+    c_e2 = jnp.int32(-e2)
+    c_ld = jnp.int32(long_diff)
+    i0, i1, i2, i3, i4 = (jnp.int32(n) for n in range(5))
+    b08, b10, b20, b40 = (jnp.int32(n) for n in (0x08, 0x10, 0x20, 0x40))
+
+    @pl.when(r == 0)
+    def _init():
+        u_s[:, :] = jnp.full((NB, T), qe_init, i32)
+        v_s[:, :] = jnp.full((NB, T), qe_init, i32)
+        x_s[:, :] = jnp.full((NB, T), qe_init, i32)
+        y_s[:, :] = jnp.full((NB, T), qe_init, i32)
+        x2_s[:, :] = jnp.full((NB, T), qe2_init, i32)
+        y2_s[:, :] = jnp.full((NB, T), qe2_init, i32)
+        s_s[:, :] = jnp.zeros((NB, T), i32)
+        qv_s[:, :] = jnp.zeros((NB, T), i32)
+        cols = jax.lax.broadcasted_iota(i32, (NB, 128), 1)
+        sc = jnp.where((cols == _LST) | (cols == _LEN), jnp.int32(-1), jnp.int32(0))
+        sc = jnp.where(cols == _SCORE, jnp.int32(NEG_INF), sc)
+        sc_s[:, :] = sc
+
+    qlen = meta_ref[:, 0:1]  # [NB, 1]
+    wband = meta_ref[:, 1:2]
+    tlen = qlen  # equal-length windows (map.c:867-929 call sites)
+    lanes = jax.lax.broadcasted_iota(i32, (NB, T), 1)
+    sf = t_ref[:, :]
+    qpad = q_ref[:, :]
+
+    u, v = u_s[:, :], v_s[:, :]
+    x, y = x_s[:, :], y_s[:, :]
+    x2, y2 = x2_s[:, :], y2_s[:, :]
+    s = s_s[:, :]
+    H0 = sc_s[:, _H0:_H0 + 1]
+    lt = sc_s[:, _LT:_LT + 1]
+    last_st = sc_s[:, _LST:_LST + 1]
+    last_en = sc_s[:, _LEN:_LEN + 1]
+    score = sc_s[:, _SCORE:_SCORE + 1]
+
+    # advance the anti-diagonal query vector: qv_diag[t] = query[r-t]
+    qv_diag = jnp.where(
+        lanes == 0, _row_gather(qpad, jnp.full((NB, 1), r, i32), lanes),
+        pltpu.roll(qv_s[:, :], 1, axis=1),
+    )
+    qv_s[:, :] = qv_diag
+
+    st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wband + 1) >> 1)
+    en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wband) >> 1)
+    live = (st0 <= en0) & (r < 2 * qlen - 1) & (qlen > 0)
+    st = st0 // 16 * 16
+    en = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
+
+    # boundary values (ksw2_extd2_sse.c:149-163)
+    prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
+    x1 = jnp.where(prev_ok, _row_gather(x, st - 1, lanes), qe_init)
+    x21 = jnp.where(prev_ok, _row_gather(x2, st - 1, lanes), qe2_init)
+    bu = jnp.where(
+        r == 0, qe_init,
+        jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
+    )
+    v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1, lanes), qe_init), bu)
+
+    # edge-lane init at t == r
+    at_edge = (lanes == r) & (en >= r) & live
+    y = jnp.where(at_edge, qe_init, y)
+    y2 = jnp.where(at_edge, qe2_init, y2)
+    u = jnp.where(at_edge, bu, u)
+
+    # substitution scores for lanes [st0, st0+16*ceil(span/16))
+    span16 = (en0 - st0) // 16 * 16 + 16
+    in_s = (lanes >= st0) & (lanes < st0 + span16) & live
+    qi_ok = (lanes <= r) & ((r - lanes) < qlen)
+    qv = jnp.where(qi_ok, qv_diag, 0)
+    nmask = (sf == 4) | (qv == 4)
+    sval = jnp.where(sf == qv, c_mch, c_mis)
+    sval = jnp.where(nmask, c_n, sval)
+    s = jnp.where(in_s, sval, s)
+
+    in_al = (lanes >= st) & (lanes <= en) & live
+    x_prev = pltpu.roll(x, 1, axis=1)
+    v_prev = pltpu.roll(v, 1, axis=1)
+    x2_prev = pltpu.roll(x2, 1, axis=1)
+    at_st = lanes == st
+    x_prev = jnp.where(at_st, x1, x_prev)
+    v_prev = jnp.where(at_st, v1, v_prev)
+    x2_prev = jnp.where(at_st, x21, x2_prev)
+
+    zv = s
+    a_ = x_prev + v_prev
+    b_ = y + u
+    a2_ = x2_prev + v_prev
+    b2_ = y2 + u
+    d = jnp.where(a_ > zv, i1, i0)
+    zv = jnp.maximum(zv, a_)
+    d = jnp.where(b_ > zv, i2, d)
+    zv = jnp.maximum(zv, b_)
+    d = jnp.where(a2_ > zv, i3, d)
+    zv = jnp.maximum(zv, a2_)
+    d = jnp.where(b2_ > zv, i4, d)
+    zv = jnp.maximum(zv, b2_)
+    zv = jnp.minimum(zv, c_mch)
+
+    u_new = zv - v_prev
+    v_new = zv - u
+    a_p = a_ - (zv - q)
+    b_p = b_ - (zv - q)
+    a2_p = a2_ - (zv - q2)
+    b2_p = b2_ - (zv - q2)
+    d = d | jnp.where(a_p > 0, b08, i0)
+    d = d | jnp.where(b_p > 0, b10, i0)
+    d = d | jnp.where(a2_p > 0, b20, i0)
+    d = d | jnp.where(b2_p > 0, b40, i0)
+
+    u2 = jnp.where(in_al, u_new, u)
+    v2 = jnp.where(in_al, v_new, v)
+    u_s[:, :] = u2
+    v_s[:, :] = v2
+    x_s[:, :] = jnp.where(in_al, jnp.maximum(a_p, 0) - (q + e), x)
+    y_s[:, :] = jnp.where(in_al, jnp.maximum(b_p, 0) - (q + e), y)
+    x2_s[:, :] = jnp.where(in_al, jnp.maximum(a2_p, 0) - (q2 + e2), x2)
+    y2_s[:, :] = jnp.where(in_al, jnp.maximum(b2_p, 0) - (q2 + e2), y2)
+    s_s[:, :] = s
+    d_out = jnp.where(in_al, d, i0)
+    dirs_ref[0, :, :] = d_out.astype(jnp.uint8)
+
+    # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
+    lt_in = (lt >= st0) & (lt <= en0)
+    lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
+    v_lt = _row_gather(v2, lt, lanes)
+    u_lt1 = _row_gather(u2, lt + 1, lanes)
+    both = lt_in & lt1_in
+    d0gt = v_lt > u_lt1
+    H0_new = jnp.where(
+        both,
+        jnp.where(d0gt, H0 + v_lt, H0 + u_lt1),
+        jnp.where(lt_in, H0 + v_lt, H0 + u_lt1),
+    )
+    lt_new = jnp.where(both, jnp.where(d0gt, lt, lt + 1), jnp.where(lt_in, lt, lt + 1))
+    first = r == 0
+    H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
+    lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
+
+    hit_end = live & (r == 2 * qlen - 2) & (en0 == tlen - 1)
+    score = jnp.where(hit_end, H0, score)
+    last_st = jnp.where(live, st, last_st)
+    last_en = jnp.where(live, en, last_en)
+
+    cols = jax.lax.broadcasted_iota(i32, (NB, 128), 1)
+    sc = sc_s[:, :]
+    sc = jnp.where(cols == _H0, H0, sc)
+    sc = jnp.where(cols == _LT, lt, sc)
+    sc = jnp.where(cols == _LST, last_st, sc)
+    sc = jnp.where(cols == _LEN, last_en, sc)
+    sc = jnp.where(cols == _SCORE, score, sc)
+    sc_s[:, :] = sc
+
+    @pl.when(r == R - 1)
+    def _fin():
+        score_ref[:, :] = jnp.broadcast_to(score, (NB, 128))
+
+
+@partial(jax.jit, static_argnames=("params", "Lmax", "interpret"))
+def extd2_batch_pallas(
+    query: jnp.ndarray,  # [N, Lmax] uint8 codes
+    target: jnp.ndarray,  # [N, Lmax] uint8 codes
+    lens: jnp.ndarray,  # [N] int32 (qlen == tlen)
+    band: jnp.ndarray,  # [N] int32
+    params: tuple,  # static (a, b, q, e, q2, e2)
+    Lmax: int,
+    interpret: bool = False,
+):
+    """Returns (score [N], dirs [N, R, T] u8, offs [N, R], off_ends [N, R]).
+
+    R = 2*Lmax-1 rounded up to 8, T = Lmax rounded up to 128.
+    """
+    N = query.shape[0]
+    T = _round_up(Lmax, 128)
+    R = _round_up(2 * Lmax - 1, 8)
+    Npad = _round_up(max(N, NB), NB)
+
+    a, b, q, e, q2, e2 = params
+    if q2 + e2 < q + e:  # ksw2_extd2_sse.c:78
+        q, q2, e, e2 = q2, q, e2, e
+    long_thres = (q2 - q) // (e - e2) - 1 if e != e2 else 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * (e - e2) - (q2 - q) - e2
+    scoring = (a, b, q, e, q2, e2, long_thres, long_diff)
+
+    qpad = jnp.zeros((Npad, T), jnp.int32).at[:N, :Lmax].set(query.astype(jnp.int32))
+    tpad = jnp.zeros((Npad, T), jnp.int32).at[:N, :Lmax].set(target.astype(jnp.int32))
+    meta = jnp.zeros((Npad, 128), jnp.int32)
+    meta = meta.at[:N, 0].set(lens.astype(jnp.int32))
+    meta = meta.at[:N, 1].set(band.astype(jnp.int32))
+
+    grid = (Npad // NB, R)
+    with jax.enable_x64(False):  # index-map literals must trace as i32
+        score, dirs = pl.pallas_call(
+            partial(_dp_kernel, T=T, scoring=scoring),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((NB, 128), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, T), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, T), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((NB, 128), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NB, T), lambda i, r: (r, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Npad, 128), jnp.int32),
+                jax.ShapeDtypeStruct((R, Npad, T), jnp.uint8),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NB, T), jnp.int32),  # u
+                pltpu.VMEM((NB, T), jnp.int32),  # v
+                pltpu.VMEM((NB, T), jnp.int32),  # x
+                pltpu.VMEM((NB, T), jnp.int32),  # y
+                pltpu.VMEM((NB, T), jnp.int32),  # x2
+                pltpu.VMEM((NB, T), jnp.int32),  # y2
+                pltpu.VMEM((NB, T), jnp.int32),  # s
+                pltpu.VMEM((NB, T), jnp.int32),  # qv_diag
+                pltpu.VMEM((NB, 128), jnp.int32),  # per-row scalars
+            ],
+            interpret=interpret,
+        )(meta, qpad, tpad)
+
+    # band geometry is a closed form of (r, qlen, band): computed outside
+    # the kernel (ksw2_extd2_sse.c:121-137)
+    r_idx = jnp.arange(R, dtype=jnp.int32)[None, :]
+    qlen_c = lens.astype(jnp.int32)[:, None]
+    w_c = band.astype(jnp.int32)[:, None]
+    st0 = jnp.maximum(jnp.maximum(0, r_idx - qlen_c + 1), (r_idx - w_c + 1) >> 1)
+    en0 = jnp.minimum(jnp.minimum(qlen_c - 1, r_idx), (r_idx + w_c) >> 1)
+    live = (st0 <= en0) & (r_idx < 2 * qlen_c - 1) & (qlen_c > 0)
+    st_al = st0 // 16 * 16
+    en_al = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
+    offs = jnp.where(live, st_al, T).astype(jnp.int32)
+    offe = jnp.where(live, en_al, -1).astype(jnp.int32)
+    return score[:N, 0], dirs.transpose(1, 0, 2)[:N], offs, offe

@@ -32,7 +32,7 @@ multi-chip sharded path (parallel/dist.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dataclass_replace
 from functools import partial
 
 import jax
@@ -238,6 +238,7 @@ class StepConfig:
     match_a: int
     params: tuple  # (a, b, q, e, q2, e2)
     frag_mode: bool
+    dp_impl: str = "xla"  # "pallas" on TPU backends
 
     @classmethod
     def from_options(
@@ -503,12 +504,20 @@ def fused_map_step(
     exact = (qlen < 300) & live & (qbuf == tbuf).all(axis=2)
     dp_lens = jnp.where(exact | ~live, 0, length).astype(jnp.int32)
     N = B * K
-    params = jnp.asarray(np.array(cfg.params, np.int32))
-    score, dirs, offs, off_ends = dpk.extd2_batch(
-        qbuf.reshape(N, cfg.Lmax), tbuf.reshape(N, cfg.Lmax),
-        dp_lens.reshape(N), jnp.broadcast_to(bw[:, None], (B, K)).reshape(N).astype(jnp.int32),
-        params, cfg.Lmax,
-    )
+    bandN = jnp.broadcast_to(bw[:, None], (B, K)).reshape(N).astype(jnp.int32)
+    if cfg.dp_impl == "pallas":
+        from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+
+        score, dirs, offs, off_ends = extd2_batch_pallas(
+            qbuf.reshape(N, cfg.Lmax), tbuf.reshape(N, cfg.Lmax),
+            dp_lens.reshape(N), bandN, cfg.params, cfg.Lmax,
+        )
+    else:
+        params = jnp.asarray(np.array(cfg.params, np.int32))
+        score, dirs, offs, off_ends = dpk.extd2_batch(
+            qbuf.reshape(N, cfg.Lmax), tbuf.reshape(N, cfg.Lmax),
+            dp_lens.reshape(N), bandN, params, cfg.Lmax,
+        )
     score = score.reshape(B, K)
     score = jnp.where(exact, (qlen * cfg.match_a).astype(jnp.int32), score)
 
@@ -549,6 +558,8 @@ class FusedMapper:
         self.cfg = StepConfig.from_options(
             index, mo, mid_occ, Lmax, min(S, dmax), min(S2, dmax), A
         )
+        if jax.default_backend() == "tpu":
+            self.cfg = dataclass_replace(self.cfg, dp_impl="pallas")
         maps, pref, _ = _pattern_tables(self.cfg)
         self.arrays = dict(
             idx_keys=jnp.asarray(index.keys),

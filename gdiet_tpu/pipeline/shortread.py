@@ -133,9 +133,9 @@ class ShortReadMapper:
         if len(need):
             sel = jnp.asarray(need)
             sub = dpk.backtrack_batch(
-                np.asarray(jnp.take(dirs_dev, sel, axis=1)),
-                np.asarray(jnp.take(offs_dev, sel, axis=1)),
-                np.asarray(jnp.take(off_ends_dev, sel, axis=1)),
+                np.asarray(jnp.take(dirs_dev, sel, axis=0)),
+                np.asarray(jnp.take(offs_dev, sel, axis=0)),
+                np.asarray(jnp.take(off_ends_dev, sel, axis=0)),
                 dp_lens_flat[need],
             )
             cigs_by_n = dict(zip(need.tolist(), sub))
