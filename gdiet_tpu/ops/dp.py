@@ -236,6 +236,42 @@ def extd2_batch(
     return score, dirs.transpose(1, 0, 2), offs.T, off_ends.T
 
 
+def cigars_from_ops(
+    ops: np.ndarray,  # [N, SMAX] uint8 op codes back-to-front, 255 padding
+    fin_i: np.ndarray,  # [N] leftover target index after the walk
+    fin_j: np.ndarray,  # [N] leftover query index
+    lens: np.ndarray,  # [N]
+) -> list[list[tuple[int, int]]]:
+    """Run-length encode device-backtracked op streams into CIGARs,
+    including the leading-gap leftovers (ksw2.h:157-158)."""
+    cigars: list[list[tuple[int, int]]] = []
+    for n in range(len(lens)):
+        if lens[n] <= 0:
+            cigars.append([])
+            continue
+        row = ops[n]
+        row = row[row != 255]
+        run: list[tuple[int, int]] = []
+        for opv in row:
+            if run and run[-1][1] == opv:
+                run[-1] = (run[-1][0] + 1, opv)
+            else:
+                run.append((1, int(opv)))
+        if fin_i[n] >= 0:
+            if run and run[-1][1] == CIGAR_DEL:
+                run[-1] = (run[-1][0] + int(fin_i[n]) + 1, CIGAR_DEL)
+            else:
+                run.append((int(fin_i[n]) + 1, CIGAR_DEL))
+        if fin_j[n] >= 0:
+            if run and run[-1][1] == CIGAR_INS:
+                run[-1] = (run[-1][0] + int(fin_j[n]) + 1, CIGAR_INS)
+            else:
+                run.append((int(fin_j[n]) + 1, CIGAR_INS))
+        run.reverse()
+        cigars.append(run)
+    return cigars
+
+
 def backtrack_batch(
     dirs: np.ndarray,  # [N, R, T] uint8
     offs: np.ndarray,  # [N, R]

@@ -108,7 +108,7 @@ def sharded_step(
             codes, lens,
             idx_keys[0], idx_starts[0], idx_positions[0],
             ref_codes, ref_offsets, ref_lengths, maps_, pref_,
-            cfg=cfg, ref_axis="ref", n_ref=n_ref, return_dirs=False,
+            cfg=cfg, ref_axis="ref", n_ref=n_ref, backtrack=False,
         )
 
     shard_fn = shard_map(

@@ -284,6 +284,91 @@ def _to_i32_dev(v):
     return jnp.where(v >= jnp.int64(1 << 31), v - jnp.int64(1 << 32), v)
 
 
+def _backtrack_device(dirs, dp_lens, band, Lmax: int):
+    """Device ksw_backtrack (ksw2.h:131-163): walk the direction bytes from
+    the terminal corner, emitting one op per step into a [SMAX, N] tensor.
+
+    The band geometry (offs/off_ends) is recomputed in closed form per step.
+    Returns (ops [N, SMAX] u8 with 255 padding, fin_i [N], fin_j [N]) — the
+    leading-gap leftovers fin_i/fin_j are resolved by the host run-length
+    encoder (ops/dp.py::cigars_from_ops).
+    """
+    N = dirs.shape[0]
+    R, T = dirs.shape[1], dirs.shape[2]
+    SMAX = 2 * Lmax
+    i32 = jnp.int32
+    lens = dp_lens.astype(i32)
+    w = band.astype(i32)
+    flat = dirs.reshape(-1)
+    base = jnp.arange(N, dtype=i32) * (R * T)
+
+    def step(carry, _):
+        i, j, state, active = carry
+        r = i + j
+        rc = jnp.clip(r, 0, R - 1)
+        st0 = jnp.maximum(jnp.maximum(0, rc - lens + 1), (rc - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(lens - 1, rc), (rc + w) >> 1)
+        live = (st0 <= en0) & (rc < 2 * lens - 1) & (lens > 0)
+        off_r = jnp.where(live, st0 // 16 * 16, T)
+        off_end_r = jnp.where(
+            live, jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1), -1
+        )
+        force = jnp.full((N,), -1, i32)
+        force = jnp.where(i < off_r, 2, force)
+        force = jnp.where(i > off_end_r, 1, force)
+        tmp = jnp.take(flat, base + rc * T + jnp.clip(i, 0, T - 1)).astype(i32)
+        tmp = jnp.where(force >= 0, 0, tmp)
+        state = jnp.where(
+            state == 0, tmp & 7,
+            jnp.where(((tmp >> (state + 2)) & 1) != 0, state, 0),
+        )
+        state = jnp.where(state == 0, tmp & 7, state)
+        state = jnp.where(force >= 0, force, state)
+        op = jnp.where(
+            state == 0, dpk.CIGAR_MATCH,
+            jnp.where((state == 1) | (state == 3), dpk.CIGAR_DEL, dpk.CIGAR_INS),
+        )
+        di = jnp.where((state == 0) | (state == 1) | (state == 3), 1, 0)
+        dj = jnp.where((state == 0) | (state == 2) | (state == 4), 1, 0)
+        write = active & (i >= 0) & (j >= 0)
+        out_op = jnp.where(write, op, 255).astype(jnp.uint8)
+        i = jnp.where(write, i - di, i)
+        j = jnp.where(write, j - dj, j)
+        active = active & (i >= 0) & (j >= 0)
+        return (i, j, state, active), out_op
+
+    init = (lens - 1, lens - 1, jnp.zeros((N,), i32), lens > 0)
+    (fin_i, fin_j, _, _), ops = jax.lax.scan(step, init, None, length=SMAX)
+    return ops.T, fin_i, fin_j
+
+
+# packed-output field order (all cast to int64 in one [B, F] tensor)
+PACK_B = ("shift", "extracted", "fallback")
+PACK_BK = ("c_valid", "c_score", "c_strand", "chrom", "so", "eo", "ts", "te",
+           "length", "exact", "dp_score", "fin_i", "fin_j")
+
+
+def pack_outputs(fields: dict, K: int) -> jnp.ndarray:
+    """[B]-fields + [B,K]-fields -> one [B, 3+13K] i64 tensor (the TPU link
+    has high per-transfer latency; everything small goes device->host in a
+    single copy)."""
+    cols = [fields[n].astype(jnp.int64)[:, None] for n in PACK_B]
+    cols += [fields[n].astype(jnp.int64) for n in PACK_BK]
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_outputs(meta: np.ndarray, K: int) -> dict:
+    out = {}
+    for c, name in enumerate(PACK_B):
+        out[name] = meta[:, c]
+    for f, name in enumerate(PACK_BK):
+        out[name] = meta[:, 3 + f * K : 3 + (f + 1) * K]
+    out["fallback"] = out["fallback"].astype(bool)
+    out["c_valid"] = out["c_valid"].astype(bool)
+    out["exact"] = out["exact"].astype(bool)
+    return out
+
+
 def fused_map_step(
     codes,  # [B, Lmax] uint8 (255 pad)
     lens,  # [B] int64
@@ -298,7 +383,7 @@ def fused_map_step(
     cfg: StepConfig,
     ref_axis: str | None = None,
     n_ref: int = 1,
-    return_dirs: bool = True,
+    backtrack: bool = True,
 ):
     """The fused forward step. All args are arrays except static ``cfg``.
 
@@ -521,7 +606,17 @@ def fused_map_step(
     score = score.reshape(B, K)
     score = jnp.where(exact, (qlen * cfg.match_a).astype(jnp.int32), score)
 
-    out = {
+    if backtrack:
+        # walk the direction bytes on device: the ops tensor going to the
+        # host is ~100x smaller than dirs (which never leaves HBM)
+        ops, fin_i, fin_j = _backtrack_device(
+            dirs, dp_lens.reshape(N), bandN, cfg.Lmax
+        )
+    else:
+        ops = jnp.full((N, 2 * cfg.Lmax), 255, jnp.uint8)
+        fin_i = fin_j = jnp.zeros((N,), jnp.int32)
+
+    fields = {
         "shift": shift,
         "extracted": extracted,
         "fallback": fallback,
@@ -536,15 +631,10 @@ def fused_map_step(
         "length": length,
         "exact": exact,
         "dp_score": score,
-        "dp_lens": dp_lens,
-        "qbuf": qbuf,
-        "tbuf": tbuf,
+        "fin_i": fin_i.reshape(B, K),
+        "fin_j": fin_j.reshape(B, K),
     }
-    if return_dirs:
-        # [R, N, T] scan-major direction bytes for the host backtrack; not
-        # returned on the multi-chip path (scores suffice for merging)
-        out.update(dirs=dirs, offs=offs, off_ends=off_ends)
-    return out
+    return {"meta": pack_outputs(fields, K), "ops": ops.reshape(B, K, 2 * cfg.Lmax)}
 
 
 class FusedMapper:

@@ -28,7 +28,7 @@ from gdiet_tpu.oracle import align as oal
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.oracle.pipeline import map_read, set_sam_params
 from gdiet_tpu.ops import dp as dpk
-from gdiet_tpu.pipeline.device_step import FusedMapper
+from gdiet_tpu.pipeline.device_step import FusedMapper, unpack_outputs
 
 U32 = 0xFFFFFFFF
 
@@ -111,38 +111,35 @@ class ShortReadMapper:
 
     # ------------------------------------------------------------------
     def _map_device(self, codes_np, lens_np):
-        """One fused device dispatch + the oracle-exact host finish."""
-        mo = self.mo
+        """One fused device dispatch + the oracle-exact host finish.
+
+        Exactly two device->host copies per batch (the TPU link has high
+        per-transfer latency): the packed [B, F] meta tensor and the
+        backtracked op streams. Window sequences for the CIGAR fix-ups are
+        rebuilt host-side from the local read codes and reference codes.
+        """
+        mo, mi = self.mo, self.mi
         B = len(lens_np)
-        out = self.fused(jnp.asarray(codes_np), jnp.asarray(lens_np))
-        dirs_dev = out.pop("dirs")
-        offs_dev = out.pop("offs")
-        off_ends_dev = out.pop("off_ends")
-        out = {k: np.asarray(v) for k, v in out.items()}
+        dev = self.fused(jnp.asarray(codes_np), jnp.asarray(lens_np))
         K = self.fused.cfg.K
-        Lmax = self.Lmax
+        out = unpack_outputs(np.asarray(dev["meta"]), K)
+        ops = np.asarray(dev["ops"])
 
         fallback = out["fallback"]
         live = out["c_valid"] & ~fallback[:, None]
-        # fetch direction bytes only for candidates that need a backtrack
-        # (exact matches and dead slots have dp_len 0) — the full dirs tensor
-        # is large and stays on device
-        dp_lens_flat = out["dp_lens"].reshape(-1)
-        need = np.where((live.reshape(-1)) & (dp_lens_flat > 0))[0]
+        need = np.where((live & ~out["exact"]).reshape(-1))[0]
         cigs_by_n: dict[int, list] = {}
         if len(need):
-            sel = jnp.asarray(need)
-            sub = dpk.backtrack_batch(
-                np.asarray(jnp.take(dirs_dev, sel, axis=0)),
-                np.asarray(jnp.take(offs_dev, sel, axis=0)),
-                np.asarray(jnp.take(off_ends_dev, sel, axis=0)),
-                dp_lens_flat[need],
+            smax = ops.shape[-1]
+            sub = dpk.cigars_from_ops(
+                ops.reshape(B * K, smax)[need],
+                out["fin_i"].reshape(-1)[need],
+                out["fin_j"].reshape(-1)[need],
+                out["length"].reshape(-1)[need],
             )
             cigs_by_n = dict(zip(need.tolist(), sub))
 
         regs_per_read: list[list[oal.Reg]] = [[] for _ in range(B)]
-        qbuf = out["qbuf"].reshape(B * K, Lmax)
-        tbuf = out["tbuf"].reshape(B * K, Lmax)
         for i in range(B):
             if fallback[i]:
                 continue
@@ -156,6 +153,7 @@ class ShortReadMapper:
                 rev = bool(out["c_strand"][i, c])
                 so, eo = int(out["so"][i, c]), int(out["eo"][i, c])
                 ts, te = int(out["ts"][i, c]), int(out["te"][i, c])
+                chrom = int(out["chrom"][i, c])
                 if out["exact"][i, c]:
                     ez_score = qlen * mo.a
                     cigar = [(length, oal.CIGAR_MATCH)]
@@ -163,13 +161,17 @@ class ShortReadMapper:
                     ez_score = int(out["dp_score"][i, c])
                     cigar = cigs_by_n.get(n, [])
                 r = oal.Reg(
-                    rid=int(out["chrom"][i, c]), score=ez_score, qs=so, qe=eo + 1,
+                    rid=chrom, score=ez_score, qs=so, qe=eo + 1,
                     rs=ts, re=te + 1, rev=rev, cigar=list(cigar),
                     dp_score=ez_score,
                 )
-                oal.update_extra(
-                    r, qbuf[n, :length], tbuf[n, :length], mo.a, mo.b, mo.q, mo.e
-                )
+                if rev:
+                    qwin = (codes_np[i, so : eo + 1][::-1]) ^ 3
+                else:
+                    qwin = codes_np[i, so : eo + 1]
+                off = int(mi.seq_offsets[chrom])
+                twin = mi.codes[off + ts : off + te + 1]
+                oal.update_extra(r, qwin, twin, mo.a, mo.b, mo.q, mo.e)
                 clip0 = qlen - r.qe if r.rev else r.qs
                 clip1 = r.qs if r.rev else qlen - r.qe
                 if not (clip0 < qlen and clip1 < qlen) or r.dp_score < mo.min_dp_max:

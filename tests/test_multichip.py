@@ -11,8 +11,11 @@ import numpy as np
 import pytest
 
 import __graft_entry__ as ge
+from functools import partial
 from gdiet_tpu.parallel.dist import build_sharded_mapper, make_mesh
-from gdiet_tpu.pipeline.device_step import FusedMapper
+from gdiet_tpu.pipeline.device_step import (
+    FusedMapper, fused_map_step, unpack_outputs,
+)
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
@@ -26,15 +29,18 @@ def test_sharded_matches_single(mesh_shape):
     out = step(jnp.asarray(codes), jnp.asarray(lens))
 
     mapper = FusedMapper(mi, mo, Lmax=lmax, S=64, S2=32, A=256)
-    ref = mapper(jnp.asarray(codes), jnp.asarray(lens))
+    single = jax.jit(partial(fused_map_step, cfg=mapper.cfg, backtrack=False))
+    ref = single(jnp.asarray(codes), jnp.asarray(lens), **mapper.arrays)
 
+    K = mapper.cfg.K
+    a = unpack_outputs(np.asarray(out["meta"]), K)
+    b = unpack_outputs(np.asarray(ref["meta"]), K)
     for key in ("shift", "extracted", "fallback", "c_valid", "c_score",
                 "c_strand", "chrom", "so", "eo", "ts", "te", "dp_score"):
-        a, b = np.asarray(out[key]), np.asarray(ref[key])
+        x, y = a[key], b[key]
         if key == "dp_score":
-            valid = np.asarray(ref["c_valid"])
-            a, b = np.where(valid, a, 0), np.where(valid, b, 0)
-        np.testing.assert_array_equal(a, b, err_msg=key)
+            x, y = np.where(b["c_valid"], x, 0), np.where(b["c_valid"], y, 0)
+        np.testing.assert_array_equal(x, y, err_msg=key)
 
 
 def test_dryrun_entry_points():
