@@ -156,7 +156,11 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
     t0 = time.perf_counter()
     for s in range(0, len(reads), B):
         batch = reads[s : s + B]
-        results = mapper.map_batch(batch)
+        if len(batch) < B:  # pad tail to the compiled batch shape
+            pad = [batch[0]] * (B - len(batch))
+            results = mapper.map_batch(batch + pad)[: len(batch)]
+        else:
+            results = mapper.map_batch(batch)
         for rec, regs in zip(batch, results):
             if regs:
                 for r in regs:

@@ -181,6 +181,26 @@ class DietIndex:
             return False
 
 
+def bucket_table(keys: np.ndarray, k: int, max_bits: int = 22):
+    """Direct-address bucket index over the sorted key array (the device
+    analog of the reference's 2^b hash buckets, index.c:29-34).
+
+    Buckets are the top ``b`` bits of the 2k-bit invertible hash, so they
+    respect the global sort order: bucket j covers keys in
+    [table[j], table[j+1]). Returns (table [2^b+1] int64, shift, iters) with
+    ``iters`` = fixed binary-search depth covering the largest bucket.
+    """
+    nk = len(keys)
+    b = max(8, int(np.ceil(np.log2(nk))) + 2) if nk else 8
+    b = min(max_bits, 2 * k, b)
+    shift = max(2 * k - b, 0)
+    bounds = np.arange((1 << b) + 1, dtype=np.uint64) << np.uint64(shift)
+    tbl = np.searchsorted(keys, bounds).astype(np.int64)
+    maxb = int(np.max(np.diff(tbl))) if nk else 0
+    iters = max(1, int(np.ceil(np.log2(maxb + 1))) + 1)
+    return tbl, shift, iters
+
+
 def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     """Run the device sketch over one sequence in fixed-size chunks.
     Returns (keys, ys) numpy arrays (unordered)."""

@@ -123,18 +123,20 @@ def kmer_scan(
     is_base = (diet_codes < 4) & diet_valid
 
     mask = jnp.uint64((1 << (2 * k)) - 1)
-    shift1 = jnp.uint64(2 * (k - 1))
 
-    def step(carry, inp):
-        kf, kr = carry
-        c, ok = inp
-        kf = jnp.where(ok, ((kf << jnp.uint64(2)) | c) & mask, kf)
-        kr = jnp.where(ok, (kr >> jnp.uint64(2)) | ((jnp.uint64(3) ^ c) << shift1), kr)
-        return (kf, kr), (kf, kr)
-
-    init = (jnp.zeros((B,), jnp.uint64), jnp.zeros((B,), jnp.uint64))
-    _, (kf, kr) = jax.lax.scan(step, init, (codes.T, is_base.T))
-    kf, kr = kf.T, kr.T  # [B, D]
+    # direct k-mer construction: base i-j contributes bits [2j, 2j+1] of the
+    # forward k-mer ending at i and bits [2(k-1-j), ...] of its complement
+    # (equivalent to the reference's rolling update, sketch.c:1651-1656,
+    # wherever a full valid window exists — elsewhere masked by l < k).
+    # Fully parallel, unlike a sequential scan over positions.
+    kf = jnp.zeros((B, D), jnp.uint64)
+    kr = jnp.zeros((B, D), jnp.uint64)
+    for j in range(k):
+        cj = _shift_right(codes, j, jnp.uint64(0))
+        kf = kf | (cj << jnp.uint64(2 * j))
+        kr = kr | ((jnp.uint64(3) ^ cj) << jnp.uint64(2 * (k - 1 - j)))
+    kf = kf & mask
+    kr = kr & mask
 
     # l[i]: consecutive valid bases ending at i (the reference's l counter)
     idx = jnp.arange(D, dtype=jnp.int64)[None, :]
@@ -244,10 +246,16 @@ def sketch_emit(
         drop = (t == dlen) & (l_last == jnp.int64(w + k - 1))
         emitted = emitted & ~drop
 
-    key = jnp.where(emitted, t * jnp.int64(D + 4) + idx, jnp.int64(2**62))
-    order = jnp.argsort(key, axis=-1)
-    xs = jnp.take_along_axis(x, order, axis=-1)[:, :max_out]
-    ys = jnp.take_along_axis(res["y"], order, axis=-1)[:, :max_out]
+    # stable order by (emission time, position): a 2-key i32 sort carrying
+    # x/y avoids both the i64 argsort and the gather pair
+    INF32 = jnp.int32(0x7FFFFFFF)
+    t32 = jnp.where(emitted, t, INF32).astype(jnp.int32)
+    i32 = jnp.broadcast_to(idx, (B, D)).astype(jnp.int32)
+    _, _, xs, ys = jax.lax.sort(
+        [t32, i32, x, res["y"]], dimension=1, num_keys=2
+    )
+    xs = xs[:, :max_out]
+    ys = ys[:, :max_out]
     nvalid = emitted.sum(axis=-1)
     valid = jnp.arange(max_out, dtype=jnp.int64)[None, :] < nvalid[:, None]
     return xs, ys, valid, nvalid

@@ -47,6 +47,8 @@ class ShardedIndex:
     """
 
     def __init__(self, index: DietIndex, n_ref: int):
+        from gdiet_tpu.index.build import bucket_table
+
         K = len(index.keys)
         bounds = [K * i // n_ref for i in range(n_ref + 1)]
         kpad = max(bounds[i + 1] - bounds[i] for i in range(n_ref)) if n_ref else 0
@@ -71,6 +73,25 @@ class ShardedIndex:
             starts[i, : len(s)] = s
             starts[i, len(s) :] = len(p)  # padded keys get zero counts
             positions[i, : len(p)] = p
+        # per-shard bucket tables sharing the full-index geometry
+        _, self.bucket_shift, _ = bucket_table(index.keys, index.k)
+        buckets, iters = [], 1
+        for i in range(n_ref):
+            tbl, sh, it = bucket_table(shards[i][0], index.k) if len(
+                shards[i][0]
+            ) else (None, self.bucket_shift, 1)
+            # rebuild with the common shift so every shard hashes identically
+            b = 2 * index.k - self.bucket_shift
+            bnds = np.arange((1 << b) + 1, dtype=np.uint64) << np.uint64(
+                self.bucket_shift
+            )
+            buckets.append(np.searchsorted(shards[i][0], bnds).astype(np.int64))
+            if len(shards[i][0]):
+                iters = max(
+                    iters, int(np.ceil(np.log2(np.max(np.diff(buckets[-1])) + 1))) + 1
+                )
+        self.buckets = np.stack(buckets)
+        self.bucket_iters = iters
         self.n_ref = n_ref
         self.keys = keys
         self.starts = starts
@@ -91,10 +112,14 @@ def sharded_step(
     """
     n_ref = mesh.shape["ref"]
     sh = ShardedIndex(index, n_ref)
+    from dataclasses import replace as dc_replace
+
+    cfg = dc_replace(cfg, bucket_shift=sh.bucket_shift, bucket_iters=sh.bucket_iters)
     arrays = dict(
         idx_keys=jnp.asarray(sh.keys),
         idx_starts=jnp.asarray(sh.starts),
         idx_positions=jnp.asarray(sh.positions),
+        idx_buckets=jnp.asarray(sh.buckets),
         ref_codes=jnp.asarray(index.codes),
         ref_offsets=jnp.asarray(index.seq_offsets),
         ref_lengths=jnp.asarray(index.lengths),
@@ -102,11 +127,11 @@ def sharded_step(
         pref=jnp.asarray(pref),
     )
 
-    def local(codes, lens, idx_keys, idx_starts, idx_positions,
+    def local(codes, lens, idx_keys, idx_starts, idx_positions, idx_buckets,
               ref_codes, ref_offsets, ref_lengths, maps_, pref_):
         return fused_map_step(
             codes, lens,
-            idx_keys[0], idx_starts[0], idx_positions[0],
+            idx_keys[0], idx_starts[0], idx_positions[0], idx_buckets[0],
             ref_codes, ref_offsets, ref_lengths, maps_, pref_,
             cfg=cfg, ref_axis="ref", n_ref=n_ref, backtrack=False,
         )
@@ -116,7 +141,7 @@ def sharded_step(
         mesh=mesh,
         in_specs=(
             P("data"), P("data"),
-            P("ref"), P("ref"), P("ref"),
+            P("ref"), P("ref"), P("ref"), P("ref"),
             P(), P(), P(), P(), P(),
         ),
         out_specs=P("data"),
@@ -128,6 +153,7 @@ def sharded_step(
         return shard_fn(
             codes, lens,
             arrays["idx_keys"], arrays["idx_starts"], arrays["idx_positions"],
+            arrays["idx_buckets"],
             arrays["ref_codes"], arrays["ref_offsets"], arrays["ref_lengths"],
             arrays["maps"], arrays["pref"],
         )

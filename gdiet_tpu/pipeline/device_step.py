@@ -186,7 +186,11 @@ def _expand_hits(
     cum = jnp.cumsum(counts, axis=1)  # [B, S]
     total = cum[:, -1]
     a_idx = jnp.arange(A, dtype=jnp.int64)[None, :]
-    sid = jax.vmap(lambda c: jnp.searchsorted(c, a_idx[0], side="right"))(cum)
+    # owning seed per hit slot: #\{s : cum[s] <= a\} — S is small, so a fused
+    # compare+reduce beats a vmapped binary search by ~10x on TPU
+    sid = (cum.astype(jnp.int32)[:, None, :] <= a_idx.astype(jnp.int32)[:, :, None]).sum(
+        axis=2, dtype=jnp.int32
+    ).astype(jnp.int64)
     sid_c = jnp.clip(sid, 0, S - 1)
     prev = jnp.where(sid_c > 0, jnp.take_along_axis(cum, jnp.maximum(sid_c - 1, 0), 1), 0)
     off_in = a_idx - prev
@@ -239,6 +243,8 @@ class StepConfig:
     params: tuple  # (a, b, q, e, q2, e2)
     frag_mode: bool
     dp_impl: str = "xla"  # "pallas" on TPU backends
+    bucket_shift: int = 0  # top-bits bucket of the key hash (index/build.py)
+    bucket_iters: int = 30  # binary-search depth within a bucket
 
     @classmethod
     def from_options(
@@ -375,6 +381,7 @@ def fused_map_step(
     idx_keys,  # [Kidx] uint64
     idx_starts,  # [Kidx+1] int64
     idx_positions,  # [P] uint64
+    idx_buckets,  # [2^b+1] int64 bucket table over idx_keys
     ref_codes,  # [total_ref_len] uint8
     ref_offsets,  # [n_seq] int64
     ref_lengths,  # [n_seq] int64
@@ -399,12 +406,28 @@ def fused_map_step(
     rid0 = jnp.zeros((B,), I64)
 
     def lookup(q):
+        """Bucketed lower-bound (mm_idx_get, index.c:84-100): the bucket
+        table narrows the search to a handful of keys, so the fixed-depth
+        bisection needs ~4 gathers instead of log2(K)."""
         nk = idx_keys.shape[0]
-        i = jnp.searchsorted(idx_keys, q)
-        i_c = jnp.clip(i, 0, max(nk - 1, 0))
-        found = (nk > 0) & (jnp.take(idx_keys, i_c) == q)
-        s = jnp.take(idx_starts, jnp.clip(i, 0, nk))
-        e = jnp.take(idx_starts, jnp.clip(i + 1, 0, nk))
+        nb = idx_buckets.shape[0] - 1
+        j = jnp.clip(
+            (q >> jnp.uint64(cfg.bucket_shift)).astype(I64), 0, max(nb - 1, 0)
+        )
+        lo = jnp.take(idx_buckets, j)
+        hi = jnp.take(idx_buckets, j + 1)
+        for _ in range(cfg.bucket_iters):
+            mid = (lo + hi) >> 1
+            km = jnp.take(idx_keys, jnp.clip(mid, 0, max(nk - 1, 0)))
+            open_ = lo < hi
+            go_r = open_ & (km < q)
+            lo = jnp.where(go_r, mid + 1, lo)
+            hi = jnp.where(open_ & ~go_r, mid, hi)
+        found = (nk > 0) & (lo < nk) & (
+            jnp.take(idx_keys, jnp.clip(lo, 0, max(nk - 1, 0))) == q
+        )
+        s = jnp.take(idx_starts, jnp.clip(lo, 0, nk))
+        e = jnp.take(idx_starts, jnp.clip(lo + 1, 0, nk))
         return jnp.where(found, s, 0), jnp.where(found, e - s, 0)
 
     def sketch(diet_codes, diet_len, rp, cap_out):
@@ -650,11 +673,18 @@ class FusedMapper:
         )
         if jax.default_backend() == "tpu":
             self.cfg = dataclass_replace(self.cfg, dp_impl="pallas")
+        from gdiet_tpu.index.build import bucket_table
+
+        tbl, shift_b, iters = bucket_table(index.keys, index.k)
+        self.cfg = dataclass_replace(
+            self.cfg, bucket_shift=shift_b, bucket_iters=iters
+        )
         maps, pref, _ = _pattern_tables(self.cfg)
         self.arrays = dict(
             idx_keys=jnp.asarray(index.keys),
             idx_starts=jnp.asarray(index.starts),
             idx_positions=jnp.asarray(index.positions),
+            idx_buckets=jnp.asarray(tbl),
             ref_codes=jnp.asarray(index.codes),
             ref_offsets=jnp.asarray(index.seq_offsets),
             ref_lengths=jnp.asarray(index.lengths),
