@@ -151,17 +151,21 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
     mapper.map_batch(reads[:B])
     log(f"compile+warmup batch: {time.perf_counter() - t0:.1f}s")
 
+    batches, tails = [], []
+    for s in range(0, len(reads), B):
+        batch = reads[s : s + B]
+        tails.append(len(batch))
+        if len(batch) < B:  # pad tail to the compiled batch shape
+            batch = batch + [batch[0]] * (B - len(batch))
+        batches.append(batch)
+
     out_lines = []
     n_fallback = 0
     t0 = time.perf_counter()
-    for s in range(0, len(reads), B):
-        batch = reads[s : s + B]
-        if len(batch) < B:  # pad tail to the compiled batch shape
-            pad = [batch[0]] * (B - len(batch))
-            results = mapper.map_batch(batch + pad)[: len(batch)]
-        else:
-            results = mapper.map_batch(batch)
-        for rec, regs in zip(batch, results):
+    for batch, n_real, results in zip(
+        batches, tails, mapper.map_stream(batches)
+    ):
+        for rec, regs in zip(batch[:n_real], results[:n_real]):
             if regs:
                 for r in regs:
                     if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:

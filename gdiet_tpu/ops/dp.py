@@ -237,7 +237,7 @@ def extd2_batch(
 
 
 def cigars_from_ops(
-    ops: np.ndarray,  # [N, SMAX] uint8 op codes back-to-front, 255 padding
+    ops: np.ndarray,  # [N, SMAX] uint8 op codes back-to-front, >=3 padding
     fin_i: np.ndarray,  # [N] leftover target index after the walk
     fin_j: np.ndarray,  # [N] leftover query index
     lens: np.ndarray,  # [N]
@@ -250,7 +250,7 @@ def cigars_from_ops(
             cigars.append([])
             continue
         row = ops[n]
-        row = row[row != 255]
+        row = row[row < 3]
         run: list[tuple[int, int]] = []
         for opv in row:
             if run and run[-1][1] == opv:

@@ -355,12 +355,30 @@ PACK_BK = ("c_valid", "c_score", "c_strand", "chrom", "so", "eo", "ts", "te",
 
 
 def pack_outputs(fields: dict, K: int) -> jnp.ndarray:
-    """[B]-fields + [B,K]-fields -> one [B, 3+13K] i64 tensor (the TPU link
+    """[B]-fields + [B,K]-fields -> one [B, 3+13K] i32 tensor (the TPU link
     has high per-transfer latency; everything small goes device->host in a
-    single copy)."""
-    cols = [fields[n].astype(jnp.int64)[:, None] for n in PACK_B]
-    cols += [fields[n].astype(jnp.int64) for n in PACK_BK]
+    single copy; every field fits 32 bits)."""
+    cols = [fields[n].astype(jnp.int32)[:, None] for n in PACK_B]
+    cols += [fields[n].astype(jnp.int32) for n in PACK_BK]
     return jnp.concatenate(cols, axis=1)
+
+
+def pack_ops(ops: jnp.ndarray) -> jnp.ndarray:
+    """[N, S] op codes (0/1/2, 255 pad) -> [N, S/4] uint8, 2 bits per op
+    (pad becomes 3)."""
+    N, S = ops.shape
+    v = jnp.minimum(ops, 3).astype(jnp.uint8).reshape(N, S // 4, 4)
+    w = jnp.asarray([1, 4, 16, 64], jnp.uint8)
+    return (v * w[None, None, :]).sum(axis=2, dtype=jnp.uint8)
+
+
+def unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_ops: [N, S/4] u8 -> [N, S] u8 with 3 = padding."""
+    N, SB = packed.shape
+    out = np.empty((N, SB, 4), np.uint8)
+    for j in range(4):
+        out[:, :, j] = (packed >> (2 * j)) & 3
+    return out.reshape(N, SB * 4)
 
 
 def unpack_outputs(meta: np.ndarray, K: int) -> dict:
@@ -657,7 +675,10 @@ def fused_map_step(
         "fin_i": fin_i.reshape(B, K),
         "fin_j": fin_j.reshape(B, K),
     }
-    return {"meta": pack_outputs(fields, K), "ops": ops.reshape(B, K, 2 * cfg.Lmax)}
+    return {
+        "meta": pack_outputs(fields, K),
+        "ops": pack_ops(ops).reshape(B, K, 2 * cfg.Lmax // 4),
+    }
 
 
 class FusedMapper:

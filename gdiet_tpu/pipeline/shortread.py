@@ -28,7 +28,7 @@ from gdiet_tpu.oracle import align as oal
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.oracle.pipeline import map_read, set_sam_params
 from gdiet_tpu.ops import dp as dpk
-from gdiet_tpu.pipeline.device_step import FusedMapper, unpack_outputs
+from gdiet_tpu.pipeline.device_step import FusedMapper, unpack_ops, unpack_outputs
 
 U32 = 0xFFFFFFFF
 
@@ -84,43 +84,70 @@ class ShortReadMapper:
 
     # ------------------------------------------------------------------
     def map_batch(self, reads: list[SeqRecord]) -> list[list[oal.Reg]]:
-        mo = self.mo
+        state = self._prepare_and_dispatch(reads)
+        return self._finish(state)
+
+    def map_stream(self, batches):
+        """Pipelined mapping: batch k+1 is dispatched to the device before
+        batch k's host finish runs, hiding transfers and the host loop behind
+        device compute (the kt_pipeline analog, kthread.c:97-159)."""
+        prev = None
+        for batch in batches:
+            state = self._prepare_and_dispatch(batch)
+            if prev is not None:
+                yield self._finish(prev)
+            prev = state
+        if prev is not None:
+            yield self._finish(prev)
+
+    # ------------------------------------------------------------------
+    def _prepare_and_dispatch(self, reads: list[SeqRecord]):
         B = len(reads)
         lens = np.array([r.l_seq for r in reads], np.int64)
         codes = np.full((B, self.Lmax), 255, np.uint8)
         for i, r in enumerate(reads):
             codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
-
         host_only = lens > min(300, self.Lmax)
         device_idx = np.where(~host_only)[0]
-        results: list[list[oal.Reg] | None] = [None] * B
-
+        dev = None
         if len(device_idx):
-            dev_results, fb = self._map_device(codes[device_idx], lens[device_idx])
+            # async dispatch: returns immediately with device futures
+            dev = self.fused(
+                jnp.asarray(codes[device_idx]), jnp.asarray(lens[device_idx])
+            )
+        return reads, codes, lens, host_only, device_idx, dev
+
+    def _finish(self, state) -> list[list[oal.Reg]]:
+        reads, codes, lens, host_only, device_idx, dev = state
+        results: list[list[oal.Reg] | None] = [None] * len(reads)
+        if dev is not None:
+            dev_results, fb = self._finish_device(
+                dev, codes[device_idx], lens[device_idx]
+            )
             for j, i in enumerate(device_idx):
                 if fb[j]:
                     host_only[i] = True
                 else:
                     results[i] = dev_results[j]
-
         for i in np.where(host_only)[0]:
             results[i] = map_read(
-                self._oracle_mi(), reads[i].seq, mo, self.mid_occ, reads[i].name
+                self._oracle_mi(), reads[i].seq, self.mo, self.mid_occ,
+                reads[i].name,
             )
         return results
 
     # ------------------------------------------------------------------
-    def _map_device(self, codes_np, lens_np):
-        """One fused device dispatch + the oracle-exact host finish.
+    def _finish_device(self, dev, codes_np, lens_np):
+        """Host finish from the two packed device tensors.
 
         Exactly two device->host copies per batch (the TPU link has high
-        per-transfer latency): the packed [B, F] meta tensor and the
-        backtracked op streams. Window sequences for the CIGAR fix-ups are
-        rebuilt host-side from the local read codes and reference codes.
+        per-transfer latency): the packed [B, F] meta tensor and the 2-bit
+        packed backtracked op streams. Window sequences for the CIGAR
+        fix-ups are rebuilt host-side from the local read codes and
+        reference codes.
         """
         mo, mi = self.mo, self.mi
         B = len(lens_np)
-        dev = self.fused(jnp.asarray(codes_np), jnp.asarray(lens_np))
         K = self.fused.cfg.K
         out = unpack_outputs(np.asarray(dev["meta"]), K)
         ops = np.asarray(dev["ops"])
@@ -130,9 +157,8 @@ class ShortReadMapper:
         need = np.where((live & ~out["exact"]).reshape(-1))[0]
         cigs_by_n: dict[int, list] = {}
         if len(need):
-            smax = ops.shape[-1]
             sub = dpk.cigars_from_ops(
-                ops.reshape(B * K, smax)[need],
+                unpack_ops(ops.reshape(B * K, -1)[need]),
                 out["fin_i"].reshape(-1)[need],
                 out["fin_j"].reshape(-1)[need],
                 out["length"].reshape(-1)[need],
