@@ -14,9 +14,18 @@ replaced by padded arrays + masks, device sorts, and segmented scans.
 x64 mode is enabled at import. All device code uses explicit dtypes.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: index-build / mapping shapes compile once per
+# machine, not once per process
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from gdiet_tpu.config import IndexOptions, MapOptions, set_preset  # noqa: E402
 

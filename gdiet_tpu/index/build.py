@@ -34,7 +34,8 @@ from gdiet_tpu.config import IndexOptions
 from gdiet_tpu.ops.sketch import sketch_emit
 from gdiet_tpu.oracle.sketch import seq_to_code
 
-CHUNK = 1 << 19  # diet positions per device call
+CHUNK = 1 << 14  # diet positions per row
+GROUP = 64  # rows per device call
 
 
 @dataclass
@@ -202,50 +203,60 @@ def bucket_table(keys: np.ndarray, k: int, max_bits: int = 22):
 
 
 def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
-    """Run the device sketch over one sequence in fixed-size chunks.
-    Returns (keys, ys) numpy arrays (unordered)."""
+    """Run the device sketch over one sequence as batched fixed-size rows
+    with (2w+k) overlap. Returns (keys, ys) numpy arrays (unordered).
+
+    The true sequence end needs the strict final-flush rule (mm_sketch's
+    l > w+k-1, sketch.c:1760) and is processed as its own single-row call;
+    interior rows use the non-strict rule because their artificial ends sit
+    inside the next row's ownership window.
+    """
     gm = pat.gather_map(len(codes), pattern, 0)
     D = len(gm)
     if D == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     ov = 2 * w + k  # context needed for exact emission at interiors
+    width = CHUNK + 2 * ov
+    starts = list(range(0, D, CHUNK))
     keys_out, ys_out = [], []
-    start = 0
-    while start < D:
-        end = min(start + CHUNK, D)
-        lo = max(0, start - ov)
-        hi = min(D, end + ov)
-        n = hi - lo
-        dc = np.full((1, CHUNK + 2 * ov), 255, np.uint8)
-        rp = np.zeros((1, CHUNK + 2 * ov), np.int64)
-        dc[0, :n] = codes[gm[lo:hi]]
-        rp[0, :n] = gm[lo:hi]
-        is_final = end == D
-        xs, ys, valid, cnt = sketch_emit(
-            jnp.asarray(dc),
-            jnp.asarray(np.array([n], np.int64)),
-            jnp.asarray(rp),
-            jnp.asarray(np.array([rid], np.int64)),
-            k,
-            w,
-            CHUNK + 2 * ov,
-            # strict final flush only applies at the true sequence end
-            final_flush_ge=not is_final,
+
+    def run(rows, flush_ge):
+        """rows: list of (start, end); one device call."""
+        G = len(rows)
+        dc = np.full((G, width), 255, np.uint8)
+        rp = np.zeros((G, width), np.int64)
+        ns = np.zeros((G,), np.int64)
+        bounds = []
+        for g, (st, en) in enumerate(rows):
+            lo, hi = max(0, st - ov), min(D, en + ov)
+            n = hi - lo
+            dc[g, :n] = codes[gm[lo:hi]]
+            rp[g, :n] = gm[lo:hi]
+            ns[g] = n
+            bounds.append((lo, hi, st, en))
+        xs, ys, _, cnt = sketch_emit(
+            jnp.asarray(dc), jnp.asarray(ns), jnp.asarray(rp),
+            jnp.full((G,), rid, np.int64), k, w, width,
+            final_flush_ge=flush_ge,
         )
-        xs = np.asarray(xs[0])
-        ys = np.asarray(ys[0])
-        m = int(cnt[0])
-        xs, ys = xs[:m], ys[:m]
-        # ownership: diet position within [start, end)
-        p_real = (ys & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
-        # map back: position within chunk = index into gm[lo:hi]; recompute
-        # diet position from emission slot is not possible, so use real->diet
-        # ordering: gm is strictly increasing, so searchsorted works
-        p_diet = lo + np.searchsorted(gm[lo:hi], p_real.astype(np.int64))
-        own = (p_diet >= start) & (p_diet < end)
-        keys_out.append((xs[own] >> np.uint64(8)).astype(np.uint64))
-        ys_out.append(ys[own].astype(np.uint64))
-        start = end
+        xs, ys, cnt = np.asarray(xs), np.asarray(ys), np.asarray(cnt)
+        for g, (lo, hi, st, en) in enumerate(bounds):
+            m = int(cnt[g])
+            xg, yg = xs[g, :m], ys[g, :m]
+            p_real = (yg & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
+            # gm is strictly increasing, so real -> diet via searchsorted
+            p_diet = lo + np.searchsorted(gm[lo:hi], p_real.astype(np.int64))
+            own = (p_diet >= st) & (p_diet < en)
+            keys_out.append((xg[own] >> np.uint64(8)).astype(np.uint64))
+            ys_out.append(yg[own].astype(np.uint64))
+
+    interior = [(st, min(st + CHUNK, D)) for st in starts[:-1]]
+    for i in range(0, len(interior), GROUP):
+        grp = interior[i : i + GROUP]
+        if len(grp) < GROUP:
+            grp = grp + [(D, D)] * (GROUP - len(grp))  # pad to one shape
+        run(grp, flush_ge=True)
+    run([(starts[-1], D)], flush_ge=False)
     return np.concatenate(keys_out), np.concatenate(ys_out)
 
 
