@@ -288,6 +288,26 @@ def apply_cli_defaults(io: IndexOptions, mo: MapOptions) -> None:
     mo.AF_max_loc = 20
 
 
+def apply_cli_defaults_lr(io: IndexOptions, mo: MapOptions) -> None:
+    """Long-read variant defaults (GDiet-LongReads/main.c:169-185 plus the
+    LR mm_mapopt_init deltas, GDiet-LongReads/options.c:22-24)."""
+    mo.bw = 1000  # LR mm_mapopt_init: plain bandwidth, no frac/min/max
+    mo.pattern, mo.pattern_len = "11", 2
+    io.pattern, io.pattern_len = "11", 2
+    mo.max_seeds = 0.1
+    mo.vt_dis = 100
+    mo.min_cnt = 1
+    mo.vt_nb_loc = 3
+    mo.vt_cov = 0.03
+    mo.vt_df1 = 0.01
+    mo.vt_df2 = 0.01
+    mo.vt_f = 0.05
+    mo.max_max_gap = 50000
+    mo.min_dp_max = 40
+    mo.max_min_gap = 4000
+    mo.rec_threshold_frac = 0.0
+
+
 def check_options(io: IndexOptions, mo: MapOptions) -> None:
     """Reference parity: mm_check_opt (options.c:164-244). Raises ValueError."""
     if io.k <= 0 or io.w <= 0:
@@ -316,12 +336,21 @@ def check_options(io: IndexOptions, mo: MapOptions) -> None:
         raise ValueError("pattern must contain at least one 1")
 
 
-def options_for(preset: str | None = None, **overrides) -> tuple[IndexOptions, MapOptions]:
+def options_for(
+    preset: str | None = None, variant: str = "sr", **overrides
+) -> tuple[IndexOptions, MapOptions]:
     """Convenience constructor: defaults -> preset -> GDiet CLI defaults ->
-    user overrides (matching the reference's two-pass CLI parse order)."""
+    user overrides (matching the reference's two-pass CLI parse order).
+
+    ``variant`` selects the ShortReads ("sr") or LongReads ("lr") sibling's
+    post-preset CLI defaults.
+    """
     io, mo = IndexOptions(), MapOptions()
     set_preset(preset, io, mo)
-    apply_cli_defaults(io, mo)
+    if variant == "lr":
+        apply_cli_defaults_lr(io, mo)
+    else:
+        apply_cli_defaults(io, mo)
     io_fields = {f.name for f in dataclasses.fields(IndexOptions)}
     mo_fields = {f.name for f in dataclasses.fields(MapOptions)}
     for key, val in overrides.items():

@@ -455,10 +455,23 @@ def fix_cigar(r: Reg, qseq: np.ndarray, tseq: np.ndarray) -> tuple[int, int]:
     return qshift, tshift
 
 
+def mg_log2(x: float) -> float:
+    """Bit-trick approximate log2 (mmpriv.h:146-157), float32 semantics."""
+    z = np.float32(x).view(np.uint32)
+    log_2 = np.float32(int((z >> np.uint32(23)) & np.uint32(255)) - 128)
+    z = (z & ~np.uint32(255 << 23)) + np.uint32(127 << 23)
+    f = z.view(np.float32)
+    return float(
+        log_2 + (np.float32(-0.34484843) * f + np.float32(2.02466578)) * f
+        - np.float32(0.67487759)
+    )
+
+
 def update_extra(
-    r: Reg, qseq: np.ndarray, tseq: np.ndarray, a: int, b: int, q: int, e: int
+    r: Reg, qseq: np.ndarray, tseq: np.ndarray, a: int, b: int, q: int, e: int,
+    log_gap: bool = False,
 ) -> None:
-    """mm_update_extra (align.c:259-318), log_gap path unused for SR."""
+    """mm_update_extra (align.c:259-318); log_gap is the long-read path."""
     qshift, tshift = fix_cigar(r, qseq, tseq)
     qseq = qseq[qshift:]
     tseq = tseq[tshift:]
@@ -490,7 +503,7 @@ def update_extra(
             n_ambi = int((qseq[qoff : qoff + length] > 3).sum())
             r.blen += length - n_ambi
             r.n_ambi += n_ambi
-            s -= q + e
+            s -= q + (float(e) * mg_log2(1.0 + length) if log_gap else e)
             if s < 0:
                 s = 0.0
             qoff += length
@@ -498,7 +511,7 @@ def update_extra(
             n_ambi = int((tseq[toff : toff + length] > 3).sum())
             r.blen += length - n_ambi
             r.n_ambi += n_ambi
-            s -= q + e
+            s -= q + (float(e) * mg_log2(1.0 + length) if log_gap else e)
             if s < 0:
                 s = 0.0
             toff += length
