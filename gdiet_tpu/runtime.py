@@ -1,0 +1,144 @@
+"""File-level mapping driver (the mm_map_file / main-loop analog).
+
+Replaces the reference's kt_pipeline read->map->write loop
+(GDiet-ShortReads/map.c:1165-1326, main.c:576-672): reads are streamed in
+base-count mini-batches, fed to the batched device mapper with one-batch
+lookahead (compute overlaps the host finish), and written in order as
+SAM or PAF.
+"""
+
+from __future__ import annotations
+
+import resource
+import sys
+import time
+
+from gdiet_tpu.config import (
+    MM_F_NO_PRINT_2ND,
+    MM_F_OUT_CG,
+    MM_F_OUT_SAM,
+    IndexOptions,
+    MapOptions,
+)
+from gdiet_tpu import __version__
+from gdiet_tpu.index.build import DietIndex, build_index
+from gdiet_tpu.io import sam as samio
+from gdiet_tpu.io.fastx import read_batches, read_fastx
+from gdiet_tpu.utils.profile import PROFILE, Stage
+
+
+def _log(verbose: int, t0: float, msg: str) -> None:
+    if verbose >= 3:
+        cpu = time.process_time()
+        print(f"[M::gdiet::{time.perf_counter() - t0:.3f}*{cpu:.2f}] {msg}",
+              file=sys.stderr)
+
+
+def load_or_build_index(
+    target: str, io: IndexOptions, verbose: int = 3, t0: float | None = None
+) -> DietIndex:
+    t0 = time.perf_counter() if t0 is None else t0
+    if DietIndex.is_index(target):
+        mi = DietIndex.load(target)
+        _log(verbose, t0, f"loaded prebuilt index ({mi.n_seq} sequences)")
+        if (mi.k != io.k or mi.w != io.w) and verbose >= 2:
+            print(
+                "[WARNING] Indexing parameters k/w differ from the CLI "
+                "setting; using the index's", file=sys.stderr,
+            )
+        return mi
+    with PROFILE.stage(Stage.INDEXING):
+        refs = [(r.name, r.seq) for r in read_fastx(target)]
+        mi = build_index(refs, io)
+    _log(verbose, t0, f"built the index for {mi.n_seq} target sequence(s)")
+    return mi
+
+
+def run_mapping(
+    io: IndexOptions,
+    mo: MapOptions,
+    variant: str,
+    target: str,
+    queries: list[str],
+    fnw: str | None = None,
+    out_path: str | None = None,
+    n_threads: int = 3,
+    verbose: int = 3,
+    cli_line: str = "gdiet",
+    max_read_len: int | None = None,
+) -> int:
+    t0 = time.perf_counter()
+    mi = load_or_build_index(target, io, verbose, t0)
+    if fnw:
+        mi.save(fnw)
+        _log(verbose, t0, f"dumped the index to {fnw}")
+        if not queries:
+            return 0
+
+    out = open(out_path, "w") if out_path and out_path != "-" else sys.stdout
+    sam_mode = bool(mo.flag & MM_F_OUT_SAM)
+
+    if variant == "sr":
+        from gdiet_tpu.pipeline.shortread import ShortReadMapper
+
+        mapper = ShortReadMapper(mi, mo, max_read_len=max_read_len or 256)
+    else:
+        from gdiet_tpu.pipeline.longread import LongReadMapper
+
+        mapper = LongReadMapper(mi, mo)
+
+    if sam_mode:
+        out.write(samio.sam_header(
+            mi.names, [int(x) for x in mi.lengths], cli_line, __version__
+        ))
+
+    names = mi.names
+    lens = [int(x) for x in mi.lengths]
+    n_mapped = 0
+    for qf in queries:
+        batches = read_batches(qf, mo.mini_batch_size)
+
+        def emit(batch, results):
+            nonlocal n_mapped
+            for rec, regs in zip(batch, results):
+                n_mapped += 1
+                if regs:
+                    for r in regs:
+                        if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                            continue
+                        if sam_mode:
+                            out.write(samio.sam_record(
+                                rec.name, rec.seq, rec.qual, r, regs, names,
+                                mo.flag, 0) + "\n")
+                        else:
+                            out.write(samio.paf_record(
+                                rec.name, rec.l_seq, r, names, lens, 0,
+                                bool(mo.flag & MM_F_OUT_CG)) + "\n")
+                else:
+                    if sam_mode:
+                        out.write(samio.sam_record(
+                            rec.name, rec.seq, rec.qual, None, [], names,
+                            mo.flag, 0) + "\n")
+                    elif mo.flag & 0x200000:  # MM_F_PAF_NO_HIT
+                        out.write(samio.paf_record(
+                            rec.name, rec.l_seq, None, names, lens, 0) + "\n")
+
+        batches = list(batches)
+        with PROFILE.stage(Stage.SEQUENCE_ALIGNMENT):
+            for batch, results in zip(batches, mapper.map_stream(batches)):
+                emit(batch, results)
+        _log(verbose, t0, f"mapped {n_mapped} sequences")
+
+    if out is not sys.stdout:
+        out.close()
+    if verbose >= 3:
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"[M::gdiet] Version: {__version__}", file=sys.stderr)
+        print(f"[M::gdiet] CMD: {cli_line}", file=sys.stderr)
+        print(
+            f"[M::gdiet] Real time: {time.perf_counter() - t0:.3f} sec; "
+            f"CPU: {time.process_time():.3f} sec; "
+            f"Peak RSS: {rss:.3f} GB", file=sys.stderr,
+        )
+        PROFILE.report(sys.stderr)
+    return 0

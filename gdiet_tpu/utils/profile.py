@@ -1,0 +1,63 @@
+"""Five-stage profiler (the reference's -DPROFILE accumulators, profile.h:6-28).
+
+The reference accumulates per-stage wall time in atomic nanosecond counters
+(pf_indexing, pf_pattern_alignment, pf_seeding, pf_voting,
+pf_sequence_alignment) and prints them at exit (print_profile, main.c:671).
+Here the same five stages are kept; on the batched device path the middle
+three run fused in one dispatch, so their time is attributed to the fused
+stage and reported both ways.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from enum import Enum
+
+
+class Stage(str, Enum):
+    INDEXING = "indexing"
+    PATTERN_ALIGNMENT = "pattern alignment"
+    SEEDING = "seeding"
+    VOTING = "voting"
+    SEQUENCE_ALIGNMENT = "sequence alignment"
+    DEVICE_FUSED = "device fused (pattern+seed+vote+align)"
+    HOST_FINISH = "host finish (backtrack+sam)"
+
+
+class Profiler:
+    def __init__(self):
+        self.ns = defaultdict(int)
+        self.enabled = True
+
+    @contextmanager
+    def stage(self, s: Stage):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter_ns()
+        try:
+            yield
+        finally:
+            self.ns[s] += time.perf_counter_ns() - t0
+
+    def add(self, s: Stage, ns: int):
+        self.ns[s] += ns
+
+    def report(self, out=None) -> str:
+        lines = [
+            f"[PROFILING] {s.value} time: {self.ns[s]} ns"
+            for s in Stage
+            if self.ns.get(s)
+        ]
+        text = "\n".join(lines)
+        if out is not None and text:
+            print(text, file=out)
+        return text
+
+    def reset(self):
+        self.ns.clear()
+
+
+PROFILE = Profiler()
