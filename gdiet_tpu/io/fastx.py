@@ -77,6 +77,43 @@ def read_fastx(path: str) -> Iterator[SeqRecord]:
             raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
 
 
+def read_frag_batches(
+    paths: list[str], mini_batch_size: int
+) -> Iterator[list[list[SeqRecord]]]:
+    """Paired/fragment batching (mm_bseq_read_frag2, bseq.c:131-163):
+    with two files, records are interleaved per fragment; with one file,
+    consecutive records sharing a qname (after /1 /2 trimming) form one
+    fragment. Yields batches of fragments."""
+    from gdiet_tpu.io.sam import qname_same
+
+    def frags() -> Iterator[list[SeqRecord]]:
+        if len(paths) == 2:
+            it1, it2 = read_fastx(paths[0]), read_fastx(paths[1])
+            for r1 in it1:
+                r2 = next(it2, None)
+                yield [r1] if r2 is None else [r1, r2]
+        else:
+            pend: list[SeqRecord] = []
+            for rec in read_fastx(paths[0]):
+                if pend and not qname_same(pend[-1].name, rec.name):
+                    yield pend
+                    pend = []
+                pend.append(rec)
+            if pend:
+                yield pend
+
+    batch: list[list[SeqRecord]] = []
+    total = 0
+    for fr in frags():
+        batch.append(fr)
+        total += sum(r.l_seq for r in fr)
+        if total >= mini_batch_size:
+            yield batch
+            batch, total = [], 0
+    if batch:
+        yield batch
+
+
 def read_batches(path: str, mini_batch_size: int) -> Iterator[list[SeqRecord]]:
     """Group records into batches of ~mini_batch_size total bases
     (bseq.c mm_bseq_read3 semantics: stop after the batch exceeds it)."""

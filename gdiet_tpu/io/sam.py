@@ -64,6 +64,29 @@ def _sam_cigar(r: Reg, qlen: int, sam_flag: int, opt_flag: int) -> str:
     return "".join(out)
 
 
+def qname_len(name: str) -> int:
+    """mm_qname_len: length without a trailing /<digit> suffix."""
+    l = len(name)
+    if l >= 3 and name[-1].isdigit() and name[-2] == "/":
+        return l - 2
+    return l
+
+
+def qname_same(a: str, b: str) -> bool:
+    """mm_qname_same: equal after trimming /<digit> suffixes."""
+    la, lb = qname_len(a), qname_len(b)
+    return la == lb and a[:la] == b[:la]
+
+
+def _sam_pri(regs: list[Reg] | None) -> Reg | None:
+    """get_sam_pri (format.c:379-385)."""
+    if regs:
+        for q in regs:
+            if q.sam_pri:
+                return q
+    return None
+
+
 def sam_record(
     name: str,
     seq: str,
@@ -73,10 +96,17 @@ def sam_record(
     ref_names: list[str],
     opt_flag: int = 0,
     rep_len: int = 0,
+    seg_idx: int = 0,
+    n_seg: int = 1,
+    mate_regs: list[Reg] | None = None,
 ) -> str:
-    """mm_write_sam3 (format.c:412-602), n_seg == 1 path."""
+    """mm_write_sam3 (format.c:412-602). For paired segments (n_seg > 1)
+    pass the mate's regs to fill flags 0x1/0x40/0x80/0x8/0x20 and
+    RNEXT/PNEXT/TLEN."""
     qlen = len(seq)
-    flag = 0
+    r_next = _sam_pri(mate_regs) if n_seg > 1 else None
+    r_prev = r_next  # n_seg == 2 (format.c:432-434)
+    flag = 0x1 if n_seg > 1 else 0
     if r is None:
         flag |= 0x4
     else:
@@ -86,13 +116,54 @@ def sam_record(
             flag |= 0x100
         elif not r.sam_pri:
             flag |= 0x800
-    fields = [name, str(flag)]
+    if n_seg > 1:
+        if r is not None and getattr(r, "proper_frag", 0):
+            flag |= 0x2
+        if seg_idx == 0:
+            flag |= 0x40
+        elif seg_idx == n_seg - 1:
+            flag |= 0x80
+        if r_next is None:
+            flag |= 0x8
+        elif r_next.rev:
+            flag |= 0x20
+    out_name = name[: qname_len(name)] if n_seg > 1 else name
+    fields = [out_name, str(flag)]
+    this_rid = this_pos = -1
     if r is None:
-        fields += ["*", "0", "0", "*"]
+        if r_prev is not None:
+            this_rid, this_pos = r_prev.rid, r_prev.rs
+            fields += [ref_names[this_rid], str(this_pos + 1), "0", "*"]
+        else:
+            fields += ["*", "0", "0", "*"]
     else:
+        this_rid, this_pos = r.rid, r.rs
         fields += [ref_names[r.rid], str(r.rs + 1), str(r.mapq),
                    _sam_cigar(r, qlen, flag, opt_flag)]
-    fields += ["*", "0", "0"]
+    if n_seg > 1:
+        tlen = 0
+        if this_rid >= 0 and r_next is not None:
+            if this_rid == r_next.rid:
+                if r is not None:
+                    p5 = r.re - 1 if r.rev else this_pos
+                    n5 = r_next.re - 1 if r_next.rev else r_next.rs
+                    tlen = n5 - p5
+                fields += ["=", str(r_next.rs + 1)]
+            else:
+                fields += [ref_names[r_next.rid], str(r_next.rs + 1)]
+        elif r_next is not None:
+            fields += [ref_names[r_next.rid], str(r_next.rs + 1)]
+        elif this_rid >= 0:
+            fields += ["=", str(this_pos + 1)]
+        else:
+            fields += ["*", "0"]
+        if tlen > 0:
+            tlen += 1
+        elif tlen < 0:
+            tlen -= 1
+        fields += [str(tlen)]
+    else:
+        fields += ["*", "0", "0"]
     # SEQ / QUAL (format.c:533-559)
     if r is None:
         fields += [seq, qual or "*"]

@@ -23,7 +23,7 @@ from gdiet_tpu.config import (
 from gdiet_tpu import __version__
 from gdiet_tpu.index.build import DietIndex, build_index
 from gdiet_tpu.io import sam as samio
-from gdiet_tpu.io.fastx import read_batches, read_fastx
+from gdiet_tpu.io.fastx import SeqRecord, read_frag_batches, read_fastx
 from gdiet_tpu.utils.profile import PROFILE, Stage
 
 
@@ -95,38 +95,78 @@ def run_mapping(
     names = mi.names
     lens = [int(x) for x in mi.lengths]
     n_mapped = 0
-    for qf in queries:
-        batches = read_batches(qf, mo.mini_batch_size)
 
-        def emit(batch, results):
-            nonlocal n_mapped
-            for rec, regs in zip(batch, results):
+    def _write(rec, r, regs, seg_idx=0, n_seg=1, mate_regs=None):
+        if sam_mode:
+            out.write(samio.sam_record(
+                rec.name, rec.seq, rec.qual, r, regs or [], names, mo.flag,
+                0, seg_idx, n_seg, mate_regs) + "\n")
+        elif r is not None:
+            out.write(samio.paf_record(
+                rec.name, rec.l_seq, r, names, lens, 0,
+                bool(mo.flag & MM_F_OUT_CG)) + "\n")
+        elif mo.flag & 0x200000:  # MM_F_PAF_NO_HIT
+            out.write(samio.paf_record(rec.name, rec.l_seq, None, names, lens, 0)
+                      + "\n")
+
+    def emit_frags(frags, results):
+        """Per-fragment output with mate fields (worker_pipeline step 2,
+        map.c:1208-1280)."""
+        nonlocal n_mapped
+        k = 0
+        for frag in frags:
+            n = len(frag)
+            frag_res = results[k : k + n]
+            k += n
+            for j, rec in enumerate(frag):
                 n_mapped += 1
+                regs = frag_res[j]
+                mate = frag_res[(j + 1) % n] if n > 1 else None
                 if regs:
                     for r in regs:
                         if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
                             continue
-                        if sam_mode:
-                            out.write(samio.sam_record(
-                                rec.name, rec.seq, rec.qual, r, regs, names,
-                                mo.flag, 0) + "\n")
-                        else:
-                            out.write(samio.paf_record(
-                                rec.name, rec.l_seq, r, names, lens, 0,
-                                bool(mo.flag & MM_F_OUT_CG)) + "\n")
+                        _write(rec, r, regs, j, n, mate)
                 else:
-                    if sam_mode:
-                        out.write(samio.sam_record(
-                            rec.name, rec.seq, rec.qual, None, [], names,
-                            mo.flag, 0) + "\n")
-                    elif mo.flag & 0x200000:  # MM_F_PAF_NO_HIT
-                        out.write(samio.paf_record(
-                            rec.name, rec.l_seq, None, names, lens, 0) + "\n")
+                    _write(rec, None, [], j, n, mate)
 
-        batches = list(batches)
+    query_groups = [queries] if len(queries) == 2 else [[q] for q in queries]
+    for group in query_groups:
+        frag_batches = list(read_frag_batches(group, mo.mini_batch_size))
+
+        # flatten segments for the batched mapper; pe_ori-revcomp paired
+        # segments before mapping and flip coordinates back after
+        # (worker_for, map.c:1057-1090)
+        flat_batches = []
+        flips: list[list[int]] = []
+        for fb in frag_batches:
+            flat: list = []
+            flip: list[int] = []
+            for frag in fb:
+                for j, rec in enumerate(frag):
+                    if len(frag) == 2 and (
+                        (j == 0 and (mo.pe_ori >> 1) & 1)
+                        or (j == 1 and mo.pe_ori & 1)
+                    ):
+                        flat.append(SeqRecord(
+                            rec.name, samio.revcomp(rec.seq),
+                            rec.qual[::-1] if rec.qual else None, rec.comment))
+                        flip.append(len(flat) - 1)
+                    else:
+                        flat.append(rec)
+            flat_batches.append(flat)
+            flips.append(flip)
+
         with PROFILE.stage(Stage.SEQUENCE_ALIGNMENT):
-            for batch, results in zip(batches, mapper.map_stream(batches)):
-                emit(batch, results)
+            for fb, flat, flip, results in zip(
+                frag_batches, flat_batches, flips, mapper.map_stream(flat_batches)
+            ):
+                for idx in flip:  # flip back to the original read strand
+                    qlen = flat[idx].l_seq
+                    for r in results[idx] or []:
+                        r.qs, r.qe = qlen - r.qe, qlen - r.qs
+                        r.rev = 0 if r.rev else 1
+                emit_frags(fb, results)
         _log(verbose, t0, f"mapped {n_mapped} sequences")
 
     if out is not sys.stdout:
