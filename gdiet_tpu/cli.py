@@ -316,6 +316,16 @@ def main(argv: list[str] | None = None) -> int:
             mo.flag |= MM_F_EQX
         elif name == "MD":
             mo.flag |= MM_F_OUT_MD
+        elif name == "cs":
+            from gdiet_tpu.config import MM_F_OUT_CS, MM_F_OUT_CS_LONG
+
+            mo.flag |= MM_F_OUT_CS | MM_F_CIGAR
+            if arg == "long":
+                mo.flag |= MM_F_OUT_CS_LONG
+            elif arg == "none":
+                mo.flag &= ~MM_F_OUT_CS
+            else:
+                mo.flag &= ~MM_F_OUT_CS_LONG
         elif name == "paf-no-hit":
             mo.flag |= MM_F_PAF_NO_HIT
         elif name == "for-only":

@@ -11,8 +11,18 @@ mate fields arrive with the pe layer.
 
 from __future__ import annotations
 
-from gdiet_tpu.config import CIGAR_STR, MM_F_SOFTCLIP
+from gdiet_tpu.config import (
+    CIGAR_STR,
+    MM_F_OUT_CS,
+    MM_F_OUT_CS_LONG,
+    MM_F_OUT_MD,
+    MM_F_SOFTCLIP,
+)
 from gdiet_tpu.oracle.align import Reg, event_identity
+from gdiet_tpu.oracle.sketch import seq_to_code
+
+_NT = "ACGTN"
+_NT_LOW = "acgtn"
 
 _COMP = str.maketrans("ACGTUacgtuRYSWKMBDHVN", "TGCAAtgcaaYRSWMKVHDBN")
 
@@ -45,6 +55,75 @@ def _tags(r: Reg) -> str:
     if r.split:
         s += f"\tzd:i:{r.split}"
     return s
+
+
+def gen_cs_md(index, r: Reg, seq: str, is_MD: bool, no_iden: bool = True) -> str:
+    """cs / MD tag body (write_cs_core / write_MD_core, format.c:150-236)."""
+    codes = seq_to_code(seq)
+    if not r.rev:
+        q = codes[r.qs : r.qe]
+    else:
+        sub = codes[r.qs : r.qe][::-1]
+        import numpy as np
+
+        q = np.where(sub >= 4, 4, 3 - sub).astype(sub.dtype)
+    t = index.getseq(r.rid, r.rs, r.re)
+    out: list[str] = []
+    qo = to = 0
+    if is_MD:
+        l_md = 0
+        for length, op in r.cigar:
+            if op in (0, 7, 8):  # M/=/X
+                for j in range(length):
+                    if q[qo + j] != t[to + j]:
+                        out.append(f"{l_md}{_NT[t[to + j]]}")
+                        l_md = 0
+                    else:
+                        l_md += 1
+                qo += length
+                to += length
+            elif op == 1:
+                qo += length
+            elif op == 2:
+                out.append(f"{l_md}^" + "".join(_NT[c] for c in t[to : to + length]))
+                l_md = 0
+                to += length
+            elif op == 3:
+                to += length
+        if l_md > 0:
+            out.append(str(l_md))
+        return "".join(out)
+    for length, op in r.cigar:
+        if op in (0, 7, 8):
+            run = 0
+            buf: list[str] = []
+            for j in range(length):
+                if q[qo + j] != t[to + j]:
+                    if run > 0:
+                        out.append("=" + "".join(buf) if not no_iden else f":{run}")
+                        run = 0
+                        buf = []
+                    out.append(f"*{_NT_LOW[t[to + j]]}{_NT_LOW[q[qo + j]]}")
+                else:
+                    run += 1
+                    buf.append(_NT[q[qo + j]])
+            if run > 0:
+                out.append("=" + "".join(buf) if not no_iden else f":{run}")
+            qo += length
+            to += length
+        elif op == 1:
+            out.append("+" + "".join(_NT_LOW[c] for c in q[qo : qo + length]))
+            qo += length
+        elif op == 2:
+            out.append("-" + "".join(_NT_LOW[c] for c in t[to : to + length]))
+            to += length
+        else:  # intron
+            out.append(
+                f"~{_NT_LOW[t[to]]}{_NT_LOW[t[to + 1]]}{length}"
+                f"{_NT_LOW[t[to + length - 2]]}{_NT_LOW[t[to + length - 1]]}"
+            )
+            to += length
+    return "".join(out)
 
 
 def _sam_cigar(r: Reg, qlen: int, sam_flag: int, opt_flag: int) -> str:
@@ -99,6 +178,7 @@ def sam_record(
     seg_idx: int = 0,
     n_seg: int = 1,
     mate_regs: list[Reg] | None = None,
+    index=None,
 ) -> str:
     """mm_write_sam3 (format.c:412-602). For paired segments (n_seg > 1)
     pass the mate's regs to fill flags 0x1/0x40/0x80/0x8/0x20 and
@@ -205,6 +285,13 @@ def sam_record(
                         sa += f"{clip3}S"
                     sa += f",{q.mapq},{q.blen - q.mlen + q.n_ambi};"
                 out += sa
+        if r.cigar and index is not None and (opt_flag & (MM_F_OUT_CS | MM_F_OUT_MD)):
+            if opt_flag & MM_F_OUT_MD:
+                out += "\tMD:Z:" + gen_cs_md(index, r, seq, True)
+            else:
+                out += "\tcs:Z:" + gen_cs_md(
+                    index, r, seq, False, not (opt_flag & MM_F_OUT_CS_LONG)
+                )
     if rep_len >= 0:
         out += f"\trl:i:{rep_len}"
     return out

@@ -100,7 +100,7 @@ def run_mapping(
         if sam_mode:
             out.write(samio.sam_record(
                 rec.name, rec.seq, rec.qual, r, regs or [], names, mo.flag,
-                0, seg_idx, n_seg, mate_regs) + "\n")
+                0, seg_idx, n_seg, mate_regs, index=mi) + "\n")
         elif r is not None:
             out.write(samio.paf_record(
                 rec.name, rec.l_seq, r, names, lens, 0,
