@@ -546,6 +546,10 @@ def map_read_lr(
     mv, extracted = osk.sketch_query(
         codes, mi.w, mi.k, mo.pattern, shift, max_nb_seeds
     )
+    if mo.sdust_thres > 0:  # mask low-complexity minimizers (map.c:90-91)
+        from gdiet_tpu.ops.sdust import dust_minimizers
+
+        mv = dust_minimizers(mv, seq, mo.sdust_thres)
     if mo.q_occ_frac > 0.0:
         mv = osd.seed_mz_flt(mv, mid_occ, mo.q_occ_frac)
     m = osd.collect_matches(mi, mv, qlen_sum, mid_occ, mo.max_max_occ, mo.occ_dist)

@@ -54,6 +54,10 @@ def map_read(
     mv, tmp_extracted_len = osk.sketch_query(
         codes, mi.w, mi.k, mo.pattern, shift, max_nb_seeds
     )
+    if mo.sdust_thres > 0:  # mask low-complexity minimizers (map.c:90-91)
+        from gdiet_tpu.ops.sdust import dust_minimizers
+
+        mv = dust_minimizers(mv, seq, mo.sdust_thres)
     if mo.q_occ_frac > 0.0:
         mv = osd.seed_mz_flt(mv, mid_occ, mo.q_occ_frac)
     n_mv = len(mv)

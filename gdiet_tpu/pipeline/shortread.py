@@ -108,6 +108,10 @@ class ShortReadMapper:
         for i, r in enumerate(reads):
             codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
         host_only = lens > min(300, self.Lmax)
+        if self.mo.sdust_thres > 0:
+            # SDUST masking is host-side (ops/sdust.py); route through the
+            # exact oracle rather than approximating on device
+            host_only[:] = True
         device_idx = np.where(~host_only)[0]
         dev = None
         if len(device_idx):
