@@ -260,6 +260,27 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     return np.concatenate(keys_out), np.concatenate(ys_out)
 
 
+def build_index_parts(
+    seqs: list[tuple[str, str]],
+    io: IndexOptions,
+):
+    """Multi-part indexing (mm_idx_reader_read with -I batch_size,
+    index.c:624-640): sequences accumulate into parts of ~batch_size bases;
+    yields (DietIndex, rid_shift) per part."""
+    part: list[tuple[str, str]] = []
+    total = 0
+    shift = 0
+    for name, seq in seqs:
+        part.append((name, seq))
+        total += len(seq)
+        if total >= io.batch_size:
+            yield build_index(part, io), shift
+            shift += len(part)
+            part, total = [], 0
+    if part:
+        yield build_index(part, io), shift
+
+
 def build_index(
     seqs: list[tuple[str, str]] | dict[str, str],
     io: IndexOptions,

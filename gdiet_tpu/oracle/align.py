@@ -366,6 +366,10 @@ class Reg:
     proper_frag: int = 0
     seg_id: int = 0
     n_sub: int = 0
+    hash: int = 0
+    is_alt: int = 0
+    pe_thru: int = 0
+    has_p: bool = True  # mm_extra_t attached (always true for GDiet regs)
 
 
 def fix_cigar(r: Reg, qseq: np.ndarray, tseq: np.ndarray) -> tuple[int, int]:

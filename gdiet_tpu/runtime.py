@@ -54,6 +54,127 @@ def load_or_build_index(
     return mi
 
 
+def _make_mapper(mi: DietIndex, mo: MapOptions, variant: str,
+                 max_read_len: int | None):
+    if variant == "sr":
+        from gdiet_tpu.pipeline.shortread import ShortReadMapper
+
+        return ShortReadMapper(mi, mo, max_read_len=max_read_len or 256)
+    from gdiet_tpu.pipeline.longread import LongReadMapper
+
+    return LongReadMapper(mi, mo)
+
+
+def run_split_mapping(
+    io: IndexOptions,
+    mo: MapOptions,
+    variant: str,
+    target: str,
+    queries: list[str],
+    out,
+    verbose: int,
+    cli_line: str,
+    max_read_len: int | None,
+    t0: float,
+) -> int:
+    """Multi-part index mapping with --split-prefix merge re-ranking
+    (map.c:1094-1163 merge_hits + splitidx.c, in-memory instead of temp
+    files; the final ranking uses the ported hit.c/pe.c stack)."""
+    from gdiet_tpu.config import MM_F_ALL_CHAINS, MM_F_CIGAR, MM_F_SR
+    from gdiet_tpu.index.build import build_index_parts
+    from gdiet_tpu.oracle import hit as ohit
+
+    with PROFILE.stage(Stage.INDEXING):
+        refs = [(r.name, r.seq) for r in read_fastx(target)]
+        parts = list(build_index_parts(refs, io))
+    _log(verbose, t0, f"built {len(parts)} index part(s)")
+
+    group = queries if len(queries) == 2 else queries[:1]
+    frags = []
+    for fb in read_frag_batches(group, 1 << 62):
+        frags.extend(fb)
+    # per-part mapping, hits kept in memory (the splitidx.c temp-file analog)
+    per_seg_regs: list[list] = []
+    seg_meta: list[tuple[int, int]] = []  # (frag_idx, seg_idx)
+    for fi, frag in enumerate(frags):
+        for j, _ in enumerate(frag):
+            seg_meta.append((fi, j))
+            per_seg_regs.append([])
+    for mi_part, rid_shift in parts:
+        mapper = _make_mapper(mi_part, mo, variant, max_read_len)
+        flat = [rec for frag in frags for rec in frag]
+        results = mapper.map_batch(flat)
+        for segi, regs in enumerate(results):
+            for r in regs or []:
+                r.rid += rid_shift
+                per_seg_regs[segi].append(r)
+    names: list[str] = []
+    lens: list[int] = []
+    for mi_part, _ in parts:
+        names.extend(mi_part.names)
+        lens.extend(int(x) for x in mi_part.lengths)
+
+    # merge re-rank per fragment (merge_hits)
+    flat_recs = [rec for frag in frags for rec in frag]
+    for segi, regs in enumerate(per_seg_regs):
+        rec = flat_recs[segi]
+        if not regs:
+            continue
+        if not (mo.flag & MM_F_SR) and rec.l_seq >= mo.rank_min_len:
+            ohit.update_dp_max(rec.l_seq, regs, mo.rank_frac, mo.a, mo.b)
+        for r in regs:
+            r.dp_max2 = 0
+            r.subsc = 0
+            r.n_sub = 0
+        regs = ohit.hit_sort(regs)
+        ohit.set_parent(regs, mo.mask_level, mo.mask_len, mo.a * 2 + mo.b)
+        if not (mo.flag & MM_F_ALL_CHAINS):
+            regs = ohit.select_sub(regs, mo.pri_ratio, 2 * io.k, mo.best_n)
+            ohit.set_sam_pri(regs)
+        ohit.set_mapq(regs, mo.min_chain_score, mo.a, 0, bool(mo.flag & MM_F_SR))
+        per_seg_regs[segi] = regs
+    # paired: proper-pair flags + PE mapq blend (map.c:1157-1159)
+    segi = 0
+    for frag in frags:
+        if len(frag) == 2 and mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
+            ohit.pair(0, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
+                      [frag[0].l_seq, frag[1].l_seq],
+                      [per_seg_regs[segi], per_seg_regs[segi + 1]])
+        segi += len(frag)
+
+    sam_mode = bool(mo.flag & MM_F_OUT_SAM)
+    if sam_mode:
+        out.write(samio.sam_header(names, lens, cli_line, __version__))
+    # fake merged index for cs/MD (seq fetch spans parts)
+    segi = 0
+    n_out = 0
+    for frag in frags:
+        n = len(frag)
+        for j, rec in enumerate(frag):
+            regs = per_seg_regs[segi + j]
+            mate = per_seg_regs[segi + (j + 1) % n] if n > 1 else None
+            if regs:
+                for r in regs:
+                    if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                        continue
+                    if sam_mode:
+                        out.write(samio.sam_record(
+                            rec.name, rec.seq, rec.qual, r, regs, names,
+                            mo.flag, 0, j, n, mate) + "\n")
+                    else:
+                        out.write(samio.paf_record(
+                            rec.name, rec.l_seq, r, names, lens, 0,
+                            bool(mo.flag & MM_F_OUT_CG)) + "\n")
+            elif sam_mode:
+                out.write(samio.sam_record(
+                    rec.name, rec.seq, rec.qual, None, [], names, mo.flag,
+                    0, j, n, mate) + "\n")
+            n_out += 1
+        segi += n
+    _log(verbose, t0, f"mapped {n_out} sequences across {len(parts)} parts")
+    return 0
+
+
 def run_mapping(
     io: IndexOptions,
     mo: MapOptions,
@@ -68,6 +189,18 @@ def run_mapping(
     max_read_len: int | None = None,
 ) -> int:
     t0 = time.perf_counter()
+
+    # multi-part split mapping (-I small + --split-prefix)
+    if mo.split_prefix and not DietIndex.is_index(target):
+        total = sum(r.l_seq for r in read_fastx(target))
+        if total > io.batch_size:
+            out = open(out_path, "w") if out_path and out_path != "-" else sys.stdout
+            rc = run_split_mapping(io, mo, variant, target, queries, out,
+                                   verbose, cli_line, max_read_len, t0)
+            if out is not sys.stdout:
+                out.close()
+            return rc
+
     mi = load_or_build_index(target, io, verbose, t0)
     if fnw:
         mi.save(fnw)
