@@ -31,23 +31,28 @@ NEG_INF = -0x40000000
 CIGAR_MATCH, CIGAR_INS, CIGAR_DEL = 0, 1, 2
 
 
-@partial(jax.jit, static_argnames=("Lmax",))
+@partial(jax.jit, static_argnames=("Lmax", "Lt"))
 def extd2_batch(
     query: jnp.ndarray,  # [N, Lmax] uint8 codes, zero-padded beyond qlen
-    target: jnp.ndarray,  # [N, Lmax] uint8 codes, zero-padded beyond tlen
-    lens: jnp.ndarray,  # [N] int32: qlen == tlen per candidate
+    target: jnp.ndarray,  # [N, Lt|Lmax] uint8 codes, zero-padded beyond tlen
+    lens: jnp.ndarray,  # [N] int32 qlens (also tlens when tlens is None)
     band: jnp.ndarray,  # [N] int32 bandwidth w
     params: jnp.ndarray,  # [6] int32: a, b, q, e, q2, e2 (b positive)
     Lmax: int,
+    tlens: jnp.ndarray | None = None,  # [N] int32 target lengths
+    Lt: int | None = None,  # static target budget (defaults to Lmax)
 ):
     """Returns (score [N] int32, dirs [N, R, T] uint8, offs [N, R] int32,
-    off_ends [N, R] int32) with R = 2*Lmax-1, T = Lmax rounded up to 16.
+    off_ends [N, R] int32) with R = Lmax+Lt-1, T = Lt rounded up to 16.
 
     Candidates with lens[i] == 0 produce score NEG_INF.
     """
     N = query.shape[0]
-    T = (Lmax + 15) // 16 * 16
-    R = 2 * Lmax - 1
+    if Lt is None:
+        Lt = Lmax
+    T = (Lt + 15) // 16 * 16
+    TQ = (Lmax + 15) // 16 * 16
+    R = Lmax + Lt - 1
 
     a = params[0]
     b = params[1]
@@ -70,7 +75,7 @@ def extd2_batch(
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
 
     qlen = lens.astype(jnp.int32)
-    tlen = lens.astype(jnp.int32)
+    tlen = qlen if tlens is None else tlens.astype(jnp.int32)
     w = band.astype(jnp.int32)
 
     lanes = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
@@ -85,8 +90,10 @@ def extd2_batch(
     y20 = jnp.full((N, T), qe2_init, jnp.int32)
     s0 = jnp.zeros((N, T), jnp.int32)
 
-    sf = jnp.zeros((N, T), jnp.int32).at[:, :Lmax].set(target.astype(jnp.int32))
-    qpad = jnp.zeros((N, T), jnp.int32).at[:, :Lmax].set(query.astype(jnp.int32))
+    sf = jnp.zeros((N, T), jnp.int32).at[:, : target.shape[1]].set(
+        target.astype(jnp.int32)
+    )
+    qpad = jnp.zeros((N, TQ), jnp.int32).at[:, :Lmax].set(query.astype(jnp.int32))
 
     def boundary_u(r):
         # u/v initial diffs along the edges (ksw2_extd2_sse.c:158,162)
@@ -101,7 +108,7 @@ def extd2_batch(
         r32 = r.astype(jnp.int32)
         st0 = jnp.maximum(jnp.maximum(0, r32 - qlen + 1), (r32 - w + 1) >> 1)
         en0 = jnp.minimum(jnp.minimum(tlen - 1, r32), (r32 + w) >> 1)
-        live = (st0 <= en0) & (r32 < 2 * qlen - 1) & (qlen > 0)
+        live = (st0 <= en0) & (r32 < qlen + tlen - 1) & (qlen > 0)
         st = st0 // 16 * 16
         en = (en0 + 16) // 16 * 16 - 1
         en = jnp.minimum(en, T - 1)
@@ -132,7 +139,7 @@ def extd2_batch(
         qi = jnp.broadcast_to(r32 - lanes, (N, T))  # query index per lane
         qv = jnp.where(
             (qi >= 0) & (qi < qlen[:, None]),
-            jnp.take_along_axis(qpad, jnp.clip(qi, 0, T - 1), axis=1),
+            jnp.take_along_axis(qpad, jnp.clip(qi, 0, TQ - 1), axis=1),
             0,
         )
         sq = sf
@@ -208,7 +215,7 @@ def extd2_batch(
         H0 = jnp.where(live, jnp.where(first, v_0 - (q + e), H0_new), H0)
         last_H0_t = jnp.where(live, jnp.where(first, 0, lt_new), last_H0_t)
 
-        hit_end = live & (r32 == 2 * qlen - 2) & (en0 == tlen - 1)
+        hit_end = live & (r32 == qlen + tlen - 2) & (en0 == tlen - 1)
         score = jnp.where(hit_end, H0, score)
 
         last_st = jnp.where(live, st, last_st)
@@ -276,18 +283,21 @@ def backtrack_batch(
     dirs: np.ndarray,  # [N, R, T] uint8
     offs: np.ndarray,  # [N, R]
     off_ends: np.ndarray,  # [N, R]
-    lens: np.ndarray,  # [N]
+    lens: np.ndarray,  # [N] qlens
+    tlens: np.ndarray | None = None,  # [N] (defaults to lens)
 ) -> list[list[tuple[int, int]]]:
     """Vectorized ksw_backtrack (ksw2.h:131-163) from the terminal corner.
 
     Returns per-candidate CIGARs as (len, op) lists (MM_CIGAR codes).
     """
     N = len(lens)
-    i = lens.astype(np.int64) - 1
+    if tlens is None:
+        tlens = lens
+    i = tlens.astype(np.int64) - 1
     j = lens.astype(np.int64) - 1
     state = np.zeros(N, np.int64)
-    active = lens > 0
-    max_steps = int(2 * lens.max()) if N else 0
+    active = (lens > 0) & (tlens > 0)
+    max_steps = int((lens + tlens).max()) if N else 0
     ops = np.full((N, max_steps + 2), -1, np.int8)
     ncol = dirs.shape[2]
     step_idx = np.zeros(N, np.int64)
@@ -317,7 +327,7 @@ def backtrack_batch(
     cigars: list[list[tuple[int, int]]] = []
     i_np, j_np = np.asarray(i), np.asarray(j)
     for n in range(N):
-        if lens[n] <= 0:
+        if lens[n] <= 0 or tlens[n] <= 0:
             cigars.append([])
             continue
         run: list[tuple[int, int]] = []

@@ -41,9 +41,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _row_gather(arr, idx, lanes):
+def _row_gather(arr, idx):
     """arr[row, idx[row]] for clipped per-row indices, via masked reduction."""
     T = arr.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
     idx_c = jnp.clip(idx, 0, T - 1)
     return jnp.sum(
         jnp.where(lanes == idx_c, arr, 0), axis=1, keepdims=True, dtype=arr.dtype
@@ -51,19 +52,20 @@ def _row_gather(arr, idx, lanes):
 
 
 def _dp_kernel(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
-               u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s, *, T, scoring):
+               u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s, *, T, TQ,
+               scoring):
     # Mosaic has no 64-bit ints; under x64 python literals in clip/where///
     # trace to i64 scalars whose i64->i32 converts fail to lower. All kernel
     # inputs are 32-bit, so tracing with x64 off keeps everything i32.
     with jax.enable_x64(False):
         _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
                         u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
-                        T=T, scoring=scoring)
+                        T=T, TQ=TQ, scoring=scoring)
 
 
 def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
                     u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
-                    *, T, scoring):
+                    *, T, TQ, scoring):
     a, b, q, e, q2, e2, long_thres, long_diff = scoring
     i32 = jnp.int32
     r = pl.program_id(1).astype(i32)
@@ -99,7 +101,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
     qlen = meta_ref[:, 0:1]  # [NB, 1]
     wband = meta_ref[:, 1:2]
-    tlen = qlen  # equal-length windows (map.c:867-929 call sites)
+    tlen = meta_ref[:, 2:3]
     lanes = jax.lax.broadcasted_iota(i32, (NB, T), 1)
     sf = t_ref[:, :]
     qpad = q_ref[:, :]
@@ -116,26 +118,26 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
     # advance the anti-diagonal query vector: qv_diag[t] = query[r-t]
     qv_diag = jnp.where(
-        lanes == 0, _row_gather(qpad, jnp.full((NB, 1), r, i32), lanes),
+        lanes == 0, _row_gather(qpad, jnp.full((NB, 1), r, i32)),
         pltpu.roll(qv_s[:, :], 1, axis=1),
     )
     qv_s[:, :] = qv_diag
 
     st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wband + 1) >> 1)
     en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wband) >> 1)
-    live = (st0 <= en0) & (r < 2 * qlen - 1) & (qlen > 0)
+    live = (st0 <= en0) & (r < qlen + tlen - 1) & (qlen > 0)
     st = st0 // 16 * 16
     en = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
 
     # boundary values (ksw2_extd2_sse.c:149-163)
     prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
-    x1 = jnp.where(prev_ok, _row_gather(x, st - 1, lanes), qe_init)
-    x21 = jnp.where(prev_ok, _row_gather(x2, st - 1, lanes), qe2_init)
+    x1 = jnp.where(prev_ok, _row_gather(x, st - 1), qe_init)
+    x21 = jnp.where(prev_ok, _row_gather(x2, st - 1), qe2_init)
     bu = jnp.where(
         r == 0, qe_init,
         jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
     )
-    v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1, lanes), qe_init), bu)
+    v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1), qe_init), bu)
 
     # edge-lane init at t == r
     at_edge = (lanes == r) & (en >= r) & live
@@ -203,8 +205,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
     lt_in = (lt >= st0) & (lt <= en0)
     lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
-    v_lt = _row_gather(v2, lt, lanes)
-    u_lt1 = _row_gather(u2, lt + 1, lanes)
+    v_lt = _row_gather(v2, lt)
+    u_lt1 = _row_gather(u2, lt + 1)
     both = lt_in & lt1_in
     d0gt = v_lt > u_lt1
     H0_new = jnp.where(
@@ -217,7 +219,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
     lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
 
-    hit_end = live & (r == 2 * qlen - 2) & (en0 == tlen - 1)
+    hit_end = live & (r == qlen + tlen - 2) & (en0 == tlen - 1)
     score = jnp.where(hit_end, H0, score)
     last_st = jnp.where(live, st, last_st)
     last_en = jnp.where(live, en, last_en)
@@ -236,23 +238,28 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         score_ref[:, :] = jnp.broadcast_to(score, (NB, 128))
 
 
-@partial(jax.jit, static_argnames=("params", "Lmax", "interpret"))
+@partial(jax.jit, static_argnames=("params", "Lmax", "Lt", "interpret"))
 def extd2_batch_pallas(
     query: jnp.ndarray,  # [N, Lmax] uint8 codes
-    target: jnp.ndarray,  # [N, Lmax] uint8 codes
-    lens: jnp.ndarray,  # [N] int32 (qlen == tlen)
+    target: jnp.ndarray,  # [N, Lt|Lmax] uint8 codes
+    lens: jnp.ndarray,  # [N] int32 qlens (also tlens when tlens is None)
     band: jnp.ndarray,  # [N] int32
     params: tuple,  # static (a, b, q, e, q2, e2)
     Lmax: int,
+    tlens: jnp.ndarray | None = None,  # [N] int32 target lengths
+    Lt: int | None = None,  # static target budget (defaults to Lmax)
     interpret: bool = False,
 ):
     """Returns (score [N], dirs [N, R, T] u8, offs [N, R], off_ends [N, R]).
 
-    R = 2*Lmax-1 rounded up to 8, T = Lmax rounded up to 128.
+    R = Lmax+Lt-1 rounded up to 8, T = Lt rounded up to 128.
     """
     N = query.shape[0]
-    T = _round_up(Lmax, 128)
-    R = _round_up(2 * Lmax - 1, 8)
+    if Lt is None:
+        Lt = Lmax
+    T = _round_up(Lt, 128)
+    TQ = _round_up(Lmax, 128)
+    R = _round_up(Lmax + Lt - 1, 8)
     Npad = _round_up(max(N, NB), NB)
 
     a, b, q, e, q2, e2 = params
@@ -264,20 +271,24 @@ def extd2_batch_pallas(
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     scoring = (a, b, q, e, q2, e2, long_thres, long_diff)
 
-    qpad = jnp.zeros((Npad, T), jnp.int32).at[:N, :Lmax].set(query.astype(jnp.int32))
-    tpad = jnp.zeros((Npad, T), jnp.int32).at[:N, :Lmax].set(target.astype(jnp.int32))
+    qpad = jnp.zeros((Npad, TQ), jnp.int32).at[:N, :Lmax].set(query.astype(jnp.int32))
+    tpad = jnp.zeros((Npad, T), jnp.int32).at[:N, : target.shape[1]].set(
+        target.astype(jnp.int32)
+    )
+    tl = lens if tlens is None else tlens
     meta = jnp.zeros((Npad, 128), jnp.int32)
     meta = meta.at[:N, 0].set(lens.astype(jnp.int32))
     meta = meta.at[:N, 1].set(band.astype(jnp.int32))
+    meta = meta.at[:N, 2].set(tl.astype(jnp.int32))
 
     grid = (Npad // NB, R)
     with jax.enable_x64(False):  # index-map literals must trace as i32
         score, dirs = pl.pallas_call(
-            partial(_dp_kernel, T=T, scoring=scoring),
+            partial(_dp_kernel, T=T, TQ=TQ, scoring=scoring),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((NB, 128), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NB, T), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, TQ), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NB, T), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -302,14 +313,15 @@ def extd2_batch_pallas(
             interpret=interpret,
         )(meta, qpad, tpad)
 
-    # band geometry is a closed form of (r, qlen, band): computed outside
-    # the kernel (ksw2_extd2_sse.c:121-137)
+    # band geometry is a closed form of (r, qlen, tlen, band): computed
+    # outside the kernel (ksw2_extd2_sse.c:121-137)
     r_idx = jnp.arange(R, dtype=jnp.int32)[None, :]
     qlen_c = lens.astype(jnp.int32)[:, None]
+    tlen_c = tl.astype(jnp.int32)[:, None]
     w_c = band.astype(jnp.int32)[:, None]
     st0 = jnp.maximum(jnp.maximum(0, r_idx - qlen_c + 1), (r_idx - w_c + 1) >> 1)
-    en0 = jnp.minimum(jnp.minimum(qlen_c - 1, r_idx), (r_idx + w_c) >> 1)
-    live = (st0 <= en0) & (r_idx < 2 * qlen_c - 1) & (qlen_c > 0)
+    en0 = jnp.minimum(jnp.minimum(tlen_c - 1, r_idx), (r_idx + w_c) >> 1)
+    live = (st0 <= en0) & (r_idx < qlen_c + tlen_c - 1) & (qlen_c > 0)
     st_al = st0 // 16 * 16
     en_al = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
     offs = jnp.where(live, st_al, T).astype(jnp.int32)

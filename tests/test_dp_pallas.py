@@ -53,3 +53,54 @@ def test_pallas_matches_xla():
     cig_x = backtrack_batch(np.asarray(d_x), np.asarray(o_x), np.asarray(e_x), lens)
     cig_p = backtrack_batch(np.asarray(d_p), np.asarray(o_p), np.asarray(e_p), lens)
     assert cig_x == cig_p
+
+
+def test_pallas_general_lengths():
+    """qlen != tlen windows (the long-read call shape, LR map.c:1798-1805)."""
+    from gdiet_tpu.oracle import align as oal
+
+    prm = (1, 4, 6, 2, 26, 1)  # map-hifi scoring
+    rng = np.random.default_rng(7)
+    random.seed(7)
+    N, LQ, LT = 12, 96, 160
+    Q = np.zeros((N, LQ), np.uint8)
+    T = np.zeros((N, LT), np.uint8)
+    qlens = np.zeros(N, np.int32)
+    tlens = np.zeros(N, np.int32)
+    band = np.zeros(N, np.int32)
+    for i in range(N):
+        lq = random.randrange(10, LQ)
+        lt = random.randrange(10, LT)
+        q = rng.integers(0, 4, lq).astype(np.uint8)
+        t = rng.integers(0, 4, lt).astype(np.uint8)
+        m = min(lq, lt)
+        t[:m] = q[:m]  # shared prefix with a few mutations
+        for _ in range(random.randrange(0, 5)):
+            t[random.randrange(lt)] = random.randrange(4)
+        Q[i, :lq], T[i, :lt] = q, t
+        qlens[i], tlens[i] = lq, lt
+        band[i] = random.choice([11, 40, 200])
+    s_p, d_p, o_p, e_p = extd2_batch_pallas(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens), jnp.asarray(band),
+        prm, LQ, tlens=jnp.asarray(tlens), Lt=LT, interpret=True,
+    )
+    s_x, d_x, o_x, e_x = extd2_batch(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens), jnp.asarray(band),
+        jnp.asarray(np.array(prm, np.int32)), LQ,
+        tlens=jnp.asarray(tlens), Lt=LT,
+    )
+    np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
+    cig_x = backtrack_batch(np.asarray(d_x), np.asarray(o_x), np.asarray(e_x),
+                            qlens, tlens)
+    cig_p = backtrack_batch(np.asarray(d_p), np.asarray(o_p), np.asarray(e_p),
+                            qlens, tlens)
+    assert cig_x == cig_p
+    # vs the scalar oracle; when the band cannot reach the terminal corner
+    # the score is NEG_INF and callers discard the candidate (LR map.c:1812)
+    # — the CIGAR is unspecified there
+    for i in range(N):
+        ez = oal.extd2(Q[i, :qlens[i]], T[i, :tlens[i]], *prm, int(band[i]),
+                       200, -1, oal.KSW_EZ_APPROX_MAX)
+        assert ez.score == int(s_x[i]), f"case {i}"
+        if ez.score != oal.NEG_INF:
+            assert ez.cigar == cig_x[i], f"case {i}"
