@@ -290,7 +290,7 @@ def _to_i32_dev(v):
     return jnp.where(v >= jnp.int64(1 << 31), v - jnp.int64(1 << 32), v)
 
 
-def _backtrack_device(dirs, dp_lens, band, Lmax: int):
+def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None):
     """Device ksw_backtrack (ksw2.h:131-163): walk the direction bytes from
     the terminal corner, emitting one op per step into a [SMAX, N] tensor.
 
@@ -301,9 +301,10 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int):
     """
     N = dirs.shape[0]
     R, T = dirs.shape[1], dirs.shape[2]
-    SMAX = 2 * Lmax
+    SMAX = Lmax + (Lt if Lt is not None else Lmax)
     i32 = jnp.int32
     lens = dp_lens.astype(i32)
+    tl = lens if tlens is None else tlens.astype(i32)
     w = band.astype(i32)
     flat = dirs.reshape(-1)
     base = jnp.arange(N, dtype=i32) * (R * T)
@@ -313,8 +314,8 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int):
         r = i + j
         rc = jnp.clip(r, 0, R - 1)
         st0 = jnp.maximum(jnp.maximum(0, rc - lens + 1), (rc - w + 1) >> 1)
-        en0 = jnp.minimum(jnp.minimum(lens - 1, rc), (rc + w) >> 1)
-        live = (st0 <= en0) & (rc < 2 * lens - 1) & (lens > 0)
+        en0 = jnp.minimum(jnp.minimum(tl - 1, rc), (rc + w) >> 1)
+        live = (st0 <= en0) & (rc < lens + tl - 1) & (lens > 0)
         off_r = jnp.where(live, st0 // 16 * 16, T)
         off_end_r = jnp.where(
             live, jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1), -1
@@ -343,7 +344,7 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int):
         active = active & (i >= 0) & (j >= 0)
         return (i, j, state, active), out_op
 
-    init = (lens - 1, lens - 1, jnp.zeros((N,), i32), lens > 0)
+    init = (tl - 1, lens - 1, jnp.zeros((N,), i32), (lens > 0) & (tl > 0))
     (fin_i, fin_j, _, _), ops = jax.lax.scan(step, init, None, length=SMAX)
     return ops.T, fin_i, fin_j
 
@@ -393,30 +394,25 @@ def unpack_outputs(meta: np.ndarray, K: int) -> dict:
     return out
 
 
-def fused_map_step(
+def collect_hits(
     codes,  # [B, Lmax] uint8 (255 pad)
     lens,  # [B] int64
-    idx_keys,  # [Kidx] uint64
-    idx_starts,  # [Kidx+1] int64
-    idx_positions,  # [P] uint64
-    idx_buckets,  # [2^b+1] int64 bucket table over idx_keys
-    ref_codes,  # [total_ref_len] uint8
-    ref_offsets,  # [n_seq] int64
-    ref_lengths,  # [n_seq] int64
-    maps,  # [W, Dmax] int64 per-shift gather maps
-    pref,  # [W+1] int64 pattern prefix-ones
+    idx_keys,
+    idx_starts,
+    idx_positions,
+    idx_buckets,
+    maps,
+    pref,
     cfg: StepConfig,
     ref_axis: str | None = None,
     n_ref: int = 1,
-    backtrack: bool = True,
 ):
-    """The fused forward step. All args are arrays except static ``cfg``.
+    """Shared device front of mm_map_frag (phases 1-3: shift inference,
+    query sketch, CSR lookup, hit expansion + per-strand sort). Used by both
+    the short-read fused step and the long-read pipeline.
 
-    When ``ref_axis`` is set the index arrays are one key-range shard of the
-    CSR index per device along that mesh axis: per-seed occurrence counts are
-    combined with ``psum`` and per-shard expanded hit streams are merged with
-    ``all_gather`` + re-sort — the device analog of the reference's
-    split-index merge (map.c:1094-1163, splitidx.c).
+    Returns (fallback, shift, extracted, mv_n, capped,
+             fk, fq, fok, rk, rq, rok, A_stream).
     """
     B = codes.shape[0]
     W = len(cfg.pattern)
@@ -426,7 +422,7 @@ def fused_map_step(
     def lookup(q):
         """Bucketed lower-bound (mm_idx_get, index.c:84-100): the bucket
         table narrows the search to a handful of keys, so the fixed-depth
-        bisection needs ~4 gathers instead of log2(K)."""
+        bisection needs ~4 gathers instead of log2(K). [moved]"""
         nk = idx_keys.shape[0]
         nb = idx_buckets.shape[0] - 1
         j = jnp.clip(
@@ -535,6 +531,44 @@ def fused_map_step(
 
         fk, fq, fok = merge(fk, fq, fok)
         rk, rq, rok = merge(rk, rq, rok)
+
+    return (fallback, shift, extracted, mv_n, capped,
+            fk, fq, fok, rk, rq, rok, A_stream)
+
+
+def fused_map_step(
+    codes,  # [B, Lmax] uint8 (255 pad)
+    lens,  # [B] int64
+    idx_keys,  # [Kidx] uint64
+    idx_starts,  # [Kidx+1] int64
+    idx_positions,  # [P] uint64
+    idx_buckets,  # [2^b+1] int64 bucket table over idx_keys
+    ref_codes,  # [total_ref_len] uint8
+    ref_offsets,  # [n_seq] int64
+    ref_lengths,  # [n_seq] int64
+    maps,  # [W, Dmax] int64 per-shift gather maps
+    pref,  # [W+1] int64 pattern prefix-ones
+    cfg: StepConfig,
+    ref_axis: str | None = None,
+    n_ref: int = 1,
+    backtrack: bool = True,
+):
+    """The fused forward step. All args are arrays except static ``cfg``.
+
+    When ``ref_axis`` is set the index arrays are one key-range shard of the
+    CSR index per device along that mesh axis: per-seed occurrence counts are
+    combined with ``psum`` and per-shard expanded hit streams are merged with
+    ``all_gather`` + re-sort — the device analog of the reference's
+    split-index merge (map.c:1094-1163, splitidx.c).
+    """
+    B = codes.shape[0]
+    k = cfg.k
+    fallback, shift, extracted, mv_n, capped, fk, fq, fok, rk, rq, rok, A_stream = (
+        collect_hits(
+            codes, lens, idx_keys, idx_starts, idx_positions, idx_buckets,
+            maps, pref, cfg, ref_axis, n_ref,
+        )
+    )
 
     # ---- phase 4: voting ----
     bw = (lens.astype(jnp.float64) * cfg.bw_frac).astype(I64)
