@@ -563,17 +563,59 @@ def map_read_lr(
     if not seqs:
         return []
 
-    # density filter 1 — the reference's compaction keeps the first
-    # #passing entries (map.c:1355-1369, see module docstring)
+    seqs, qrstart, qrend = apply_filters(seqs, mo, mi.k, qlen_sum)
+    if not seqs:
+        return []
+
+    # ---- round-2 voting on uncovered prefix/suffix ----
+    def round2(lo: int, hi: int):
+        vt2 = VtSeq(score=0)
+        vt2 = vote_2(tf, qf, 0, vt2, mo.vt_dis, extracted, lo, hi)
+        vt2 = vote_2(tr, qr, 1, vt2, mo.vt_dis, extracted, lo, hi)
+        accept_round2(vt2, mo, mi.k, seqs)
+
+    if qrstart > coverage_threshold:
+        round2(0, qrstart)
+    if qlen_sum - qrend > coverage_threshold:
+        round2(qrend, qlen_sum)
+
+    build_concat_graph(seqs, mo)
+
+    # ---- per-segment alignment (map.c:1654-1855) ----
+    qs_for = codes.astype(np.uint8)
+    qs_rev = (codes[::-1] ^ 0x3).astype(np.uint8)
+
+    jobs = prepare_segments(mi, mo, qs_for, qs_rev, qlen_sum, seqs)
+    ezs = []
+    for (s, qwin, twin, exact, qlen) in jobs:
+        if exact:
+            ez = oal.ExtzResult()
+            ez.score = qlen_sum * mo.a
+            ez.cigar = [(int(qlen), oal.CIGAR_MATCH)]
+            ez.n_cigar = 1
+        else:
+            ez = oal.extd2(
+                qwin, twin, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,
+                mo.bw, mo.zdrop, mo.end_bonus, oal.KSW_EZ_APPROX_MAX,
+            )
+        ezs.append((ez.score, list(ez.cigar)))
+    return finalize_read(mi, mo, qs_for, qs_rev, qlen_sum, seqs, jobs, ezs)
+
+
+def apply_filters(seqs: list[VtSeq], mo: MapOptions, k: int, qlen_sum: int):
+    """Density filter 1 + relative filter + boundary adjustment + coverage
+    bookkeeping (map.c:1355-1400). Returns (seqs, qrstart, qrend).
+
+    The density-filter compaction keeps the first #passing entries
+    (map.c:1358-1363, see module docstring)."""
     nb_df = sum(
         1 for s in seqs
         if F32(s.score) > F32(mo.vt_df1) * F32(_i32(s.last_target_loc) - _i32(s.first_target_loc))
     )
     seqs = seqs[:nb_df]
     if not seqs:
-        return []
+        return [], qlen_sum, 0
 
-    # relative filter + boundary adjustment + coverage bookkeeping
     bw = mo.bw
     qrstart = qlen_sum
     qrend = 0
@@ -582,8 +624,8 @@ def map_read_lr(
     for s in seqs:
         if s.score < filtering_threshold:
             break
-        s.first_query_loc = (s.first_query_loc - (mi.k - 1)) & U32
-        s.first_target_loc = _i32(s.first_target_loc - (mi.k - 1))
+        s.first_query_loc = (s.first_query_loc - (k - 1)) & U32
+        s.first_target_loc = _i32(s.first_target_loc - (k - 1))
         s.next = None
         s.concat = 0
         dq = (s.last_query_loc - s.first_query_loc) & U32
@@ -594,27 +636,126 @@ def map_read_lr(
         if s.last_query_loc > qrend:
             qrend = s.last_query_loc
         kept.append(s)
-    seqs = kept
+    return kept, qrstart, qrend
 
-    # ---- round-2 voting on uncovered prefix/suffix ----
-    def round2(lo: int, hi: int):
-        vt2 = VtSeq(score=0)
-        vt2 = vote_2(tf, qf, 0, vt2, mo.vt_dis, extracted, lo, hi)
-        vt2 = vote_2(tr, qr, 1, vt2, mo.vt_dis, extracted, lo, hi)
-        vt2.first_query_loc = (vt2.first_query_loc - (mi.k - 1)) & U32
-        vt2.first_target_loc = _i32(vt2.first_target_loc - (mi.k - 1))
-        span = _i32(vt2.last_target_loc) - vt2.first_target_loc
-        if F32(vt2.score) > F32(mo.vt_df2) * F32(span):
-            dq = (vt2.last_query_loc - vt2.first_query_loc) & U32
-            if dq + 0.5 * bw < span:
-                vt2.last_target_loc = _i32(int(vt2.first_target_loc + dq + 0.5 * bw))
-            seqs.append(vt2)
 
-    if qrstart > coverage_threshold:
-        round2(0, qrstart)
-    if qlen_sum - qrend > coverage_threshold:
-        round2(qrend, qlen_sum)
+def accept_round2(vt2: VtSeq, mo: MapOptions, k: int, seqs: list[VtSeq]) -> None:
+    """Round-2 candidate adjustment + density filter 2 (map.c:1402-1445)."""
+    bw = mo.bw
+    vt2.first_query_loc = (vt2.first_query_loc - (k - 1)) & U32
+    vt2.first_target_loc = _i32(vt2.first_target_loc - (k - 1))
+    span = _i32(vt2.last_target_loc) - vt2.first_target_loc
+    if F32(vt2.score) > F32(mo.vt_df2) * F32(span):
+        dq = (vt2.last_query_loc - vt2.first_query_loc) & U32
+        if dq + 0.5 * bw < span:
+            vt2.last_target_loc = _i32(int(vt2.first_target_loc + dq + 0.5 * bw))
+        seqs.append(vt2)
 
+
+def prepare_segments(mi, mo, qs_for, qs_rev, qlen_sum, seqs):
+    """Window geometry per voted segment (map.c:1654-1714). Marks every seq
+    valid and returns [(seq, qwin, twin, exact, qlen)] alignment jobs; the
+    window fields are stashed on the VtSeq for finalize_read."""
+    jobs = []
+    for s in seqs:
+        s.valid = 1
+        target_id = s.chrom_id
+        target_start = s.first_target_loc & U32
+        target_end = s.last_target_loc & U32
+        if s.str:
+            query_end = (qlen_sum - 1 - s.first_query_loc) & U32
+            query_start = (qlen_sum - 1 - s.last_query_loc) & U32
+        else:
+            query_start = s.first_query_loc
+            query_end = s.last_query_loc
+        if qlen_sum <= 300:
+            chrom_len = mi.lengths[target_id]
+            if target_start < query_start:
+                query_start -= target_start
+                target_start = 0
+            else:
+                target_start -= query_start
+                query_start = 0
+            if chrom_len + query_end < qlen_sum + target_end:
+                query_end += chrom_len - target_end - 1
+                target_end = chrom_len - 1
+            else:
+                target_end += qlen_sum - query_end - 1
+                query_end = qlen_sum - 1
+        qptr = query_start  # pointer into the strand sequence (pre-swap)
+        qlen = (query_end - query_start + 1) & U32
+        tlen = (target_end - target_start + 1) & U32
+        if s.str:
+            tmp = qlen_sum - 1 - query_start
+            query_start = qlen_sum - 1 - query_end
+            query_end = tmp
+        strand_seq = qs_rev if s.str else qs_for
+        qwin = strand_seq[qptr : qptr + qlen]
+        twin = mi.getseq(target_id, target_start, target_end + 1)
+        exact = (
+            qlen_sum < 300 and qlen == tlen and len(qwin) == len(twin)
+            and bool(np.all(qwin == twin))
+        )
+        s.win = (query_start, query_end, target_start, target_end)
+        jobs.append((s, qwin, twin, exact, qlen))
+    return jobs
+
+
+def finalize_read(mi, mo, qs_for, qs_rev, qlen_sum, seqs, jobs, ezs):
+    """Reg construction, CIGAR fix-ups, concatenation and output ordering
+    (map.c:1808-1912)."""
+    for (s, qwin, twin, exact, qlen), (score, cigar) in zip(jobs, ezs):
+        query_start, query_end, target_start, target_end = s.win
+        if score == oal.NEG_INF:
+            s.valid = 0
+            continue
+        r = oal.Reg(
+            rid=s.chrom_id, score=score, qs=query_start, qe=query_end + 1,
+            rs=target_start, re=target_end + 1, rev=s.str,
+            cigar=list(cigar), dp_score=score,
+        )
+        oal.update_extra(
+            r, qwin, twin, mo.a, mo.b, mo.q, mo.e,
+            log_gap=not (mo.flag & MM_F_SR),
+        )
+        clip0 = qlen_sum - r.qe if r.rev else r.qs
+        clip1 = r.qs if r.rev else qlen_sum - r.qe
+        if not (clip0 < qlen_sum and clip1 < qlen_sum):
+            s.valid = 0
+            continue
+        s.r = r
+
+    # ---- concatenate the records (map.c:1857-1874) ----
+    for s in seqs:
+        while s.valid and s.next is not None and s.next.valid:
+            if concatenate_cigars(
+                s.r, s.next.r, qs_rev if s.str else qs_for, s.str, qlen_sum,
+                mi, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,
+            ) == 0:
+                s.next.valid = 0
+                s.next = s.next.next
+            else:
+                s.next = None
+
+    # ---- score filter + output ordering (map.c:1876-1912) ----
+    out: list[oal.Reg] = []
+    for s in seqs:
+        if s.valid:
+            if s.r.dp_score < mo.min_dp_max:
+                s.valid = 0
+            else:
+                out.append(s.r)
+                kk = len(out) - 1
+                while kk > 0 and out[kk].score > out[kk - 1].score:
+                    out[kk], out[kk - 1] = out[kk - 1], out[kk]
+                    kk -= 1
+    if out:
+        max_nb_sec = 0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n
+        set_sam_params(out, qlen_sum, mo.a, max_nb_sec)
+    return out
+
+
+def build_concat_graph(seqs: list[VtSeq], mo: MapOptions) -> None:
     # ---- concatenation candidate graph (map.c:1467-1590) ----
     for s1 in seqs:
         for s2 in seqs:
@@ -691,104 +832,3 @@ def map_read_lr(
             if s2.last_target_loc < s1.last_target_loc:
                 s1.last_target_loc = s2.last_target_loc - 1
 
-    # ---- per-segment alignment (map.c:1654-1855) ----
-    qs_for = codes.astype(np.uint8)
-    qs_rev = (codes[::-1] ^ 0x3).astype(np.uint8)
-
-    for s in seqs:
-        s.valid = 1
-        target_id = s.chrom_id
-        target_start = s.first_target_loc & U32
-        target_end = s.last_target_loc & U32
-        if s.str:
-            query_end = (qlen_sum - 1 - s.first_query_loc) & U32
-            query_start = (qlen_sum - 1 - s.last_query_loc) & U32
-        else:
-            query_start = s.first_query_loc
-            query_end = s.last_query_loc
-        if qlen_sum <= 300:
-            chrom_len = mi.lengths[target_id]
-            if target_start < query_start:
-                query_start -= target_start
-                target_start = 0
-            else:
-                target_start -= query_start
-                query_start = 0
-            if chrom_len + query_end < qlen_sum + target_end:
-                query_end += chrom_len - target_end - 1
-                target_end = chrom_len - 1
-            else:
-                target_end += qlen_sum - query_end - 1
-                query_end = qlen_sum - 1
-        qptr = query_start  # pointer into the strand sequence (pre-swap)
-        qlen = (query_end - query_start + 1) & U32
-        tlen = (target_end - target_start + 1) & U32
-        if s.str:
-            tmp = qlen_sum - 1 - query_start
-            query_start = qlen_sum - 1 - query_end
-            query_end = tmp
-        strand_seq = qs_rev if s.str else qs_for
-        qwin = strand_seq[qptr : qptr + qlen]
-        twin = mi.getseq(target_id, target_start, target_end + 1)
-
-        exact = (
-            qlen_sum < 300 and qlen == tlen and len(qwin) == len(twin)
-            and bool(np.all(qwin == twin))
-        )
-        if exact:
-            ez = oal.ExtzResult()
-            ez.score = qlen_sum * mo.a
-            ez.cigar = [(int(qlen), oal.CIGAR_MATCH)]
-            ez.n_cigar = 1
-        else:
-            ez = oal.extd2(
-                qwin, twin, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,
-                bw, mo.zdrop, mo.end_bonus, oal.KSW_EZ_APPROX_MAX,
-            )
-        if ez.score == oal.NEG_INF:
-            s.valid = 0
-            continue
-        r = oal.Reg(
-            rid=target_id, score=ez.score, qs=query_start, qe=query_end + 1,
-            rs=target_start, re=target_end + 1, rev=s.str,
-            cigar=list(ez.cigar), dp_score=ez.score,
-        )
-        oal.update_extra(
-            r, qwin, twin, mo.a, mo.b, mo.q, mo.e,
-            log_gap=not (mo.flag & MM_F_SR),
-        )
-        clip0 = qlen_sum - r.qe if r.rev else r.qs
-        clip1 = r.qs if r.rev else qlen_sum - r.qe
-        if not (clip0 < qlen_sum and clip1 < qlen_sum):
-            s.valid = 0
-            continue
-        s.r = r
-
-    # ---- concatenate the records (map.c:1857-1874) ----
-    for s in seqs:
-        while s.valid and s.next is not None and s.next.valid:
-            if concatenate_cigars(
-                s.r, s.next.r, qs_rev if s.str else qs_for, s.str, qlen_sum,
-                mi, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,
-            ) == 0:
-                s.next.valid = 0
-                s.next = s.next.next
-            else:
-                s.next = None
-
-    # ---- score filter + output ordering (map.c:1876-1912) ----
-    out: list[oal.Reg] = []
-    for s in seqs:
-        if s.valid:
-            if s.r.dp_score < mo.min_dp_max:
-                s.valid = 0
-            else:
-                out.append(s.r)
-                k = len(out) - 1
-                while k > 0 and out[k].score > out[k - 1].score:
-                    out[k], out[k - 1] = out[k - 1], out[k]
-                    k -= 1
-    if out:
-        max_nb_sec = 0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n
-        set_sam_params(out, qlen_sum, mo.a, max_nb_sec)
-    return out
