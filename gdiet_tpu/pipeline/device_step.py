@@ -238,6 +238,7 @@ class StepConfig:
     bw_frac: float
     occ_thresh: int  # int(0.501*occ_dist)+1 (seed.c:66 streak span)
     q_occ_on: bool
+    q_occ_frac: float
     mid_occ: int
     match_a: int
     params: tuple  # (a, b, q, e, q2, e2)
@@ -259,7 +260,8 @@ class StepConfig:
             max_seeds=mo.max_seeds, min_cnt=mo.min_cnt,
             rec_frac=mo.rec_threshold_frac, bw_min=mo.bw_min, bw_max=mo.bw_max,
             bw_frac=mo.bw_frac, occ_thresh=int(0.501 * mo.occ_dist) + 1,
-            q_occ_on=mo.q_occ_frac > 0, mid_occ=mid_occ, match_a=mo.a,
+            q_occ_on=mo.q_occ_frac > 0, q_occ_frac=mo.q_occ_frac,
+            mid_occ=mid_occ, match_a=mo.a,
             params=(mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2), frag_mode=frag,
         )
 
@@ -494,8 +496,29 @@ def collect_hits(
     )
     mv_n = jnp.minimum(n3, cfg.max_nb_seeds)
     if cfg.q_occ_on:
-        # q-occurrence filter is a no-op when mv_n <= mid_occ (seed.c:8)
-        fallback = fallback | (mv_n > cfg.mid_occ)
+        # mm_seed_mz_flt (seed.c:5-29) drops minimizers only when their
+        # within-query occurrence exceeds BOTH mid_occ and n*q_occ_frac.
+        # Compute the maximal duplicate-run length on device: the filter is
+        # a no-op (the overwhelmingly common case) unless that maximum
+        # violates both bounds — only then fall back to the exact oracle.
+        valid_seed = jnp.arange(cfg.S, dtype=I64)[None, :] < jnp.minimum(mv_n, cfg.S)[:, None]
+        xs_sorted = jnp.sort(jnp.where(valid_seed, xs, U64_MAX), axis=1)
+        pos = jnp.arange(cfg.S, dtype=I64)[None, :]
+        is_start = jnp.concatenate(
+            [jnp.ones((B, 1), bool), xs_sorted[:, 1:] != xs_sorted[:, :-1]],
+            axis=1,
+        )
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, pos, -1), axis=1
+        )
+        runlen = pos - run_start + 1
+        dup_ok = jnp.where(xs_sorted != U64_MAX, runlen, 0)
+        maxdup = dup_ok.max(axis=1)
+        noop = (maxdup <= cfg.mid_occ) | (
+            maxdup.astype(jnp.float64)
+            <= mv_n.astype(jnp.float64) * cfg.q_occ_frac
+        )
+        fallback = fallback | ((mv_n > cfg.mid_occ) & ~noop)
 
     # ---- phase 3: seed lookup + hit expansion ----
     seed_ok = jnp.arange(cfg.S, dtype=I64)[None, :] < jnp.minimum(mv_n, cfg.S)[:, None]

@@ -1,31 +1,88 @@
-"""Long-read mapper front-end.
+"""Long-read mapper: device front + exact host finish.
 
-The exact long-read semantics live in oracle/longread.py (two-round voting,
-segment concatenation — byte-parity tested against the LongReads reference
-binary). This wrapper gives it the same batch interface as ShortReadMapper;
-device acceleration of the LR stages (shift/sketch/lookup run on device,
-vote + concatenation host-side) hangs off the same FusedMapper machinery in
-a later milestone.
+Device stages (pipeline/lr_step.py): shift inference, query sketch, CSR
+lookup, hit expansion, round-1 coverage-gated voting, and window-constrained
+round-2 voting all run as fused jitted dispatches; per-segment banded DP runs
+as length-bucketed Pallas kernel calls with on-device backtrack. The host
+applies the density/relative filters, builds the concatenation graph and the
+CIGAR concatenation, and assigns SAM params — all via the byte-parity-tested
+oracle stage functions (oracle/longread.py).
+
+Reads that leave the fixed-shape envelope fall back to the scalar oracle.
+On non-TPU backends the per-segment DP uses the scalar oracle kernel (the
+XLA scan would dominate test time); everything else still runs the device
+path, keeping CPU tests representative.
 """
 
 from __future__ import annotations
 
+from dataclasses import replace as dataclass_replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from gdiet_tpu.config import MapOptions
-from gdiet_tpu.index.build import DietIndex
+from gdiet_tpu.config import MM_F_NO_PRINT_2ND, MM_F_SR, MapOptions
+from gdiet_tpu.index.build import DietIndex, bucket_table
 from gdiet_tpu.io.fastx import SeqRecord
 from gdiet_tpu.oracle import align as oal
-from gdiet_tpu.oracle.longread import map_read_lr
+from gdiet_tpu.oracle import longread as olr
+from gdiet_tpu.oracle import sketch as osk
+from gdiet_tpu.ops import dp as dpk
+from gdiet_tpu.pipeline import device_step as ds
+from gdiet_tpu.pipeline.lr_step import _vote2_scan, lr_front
+
+F32 = np.float32
+U32 = 0xFFFFFFFF
+
+# (Lq, Lt) DP buckets; segments beyond the largest bucket -> oracle fallback
+DP_BUCKETS = [(512, 1024), (2048, 3072), (8192, 9216)]
 
 
 class LongReadMapper:
-    def __init__(self, index: DietIndex, mo: MapOptions):
+    def __init__(
+        self,
+        index: DietIndex,
+        mo: MapOptions,
+        max_read_len: int = 8192,
+        seed_budget: int = 2048,
+        shift_seed_budget: int = 256,
+        hit_budget: int = 8192,
+        device: bool = True,
+    ):
         self.mi = index
         self.mo = mo
         self.mid_occ = index.derive_mid_occ(mo)
+        self.Lmax = max_read_len
+        self.device_enabled = device
         self._oracle_index = None
 
+        from gdiet_tpu import pattern as pat
+
+        dmax = pat.diet_length(max_read_len, mo.pattern, 0)
+        cfg = ds.StepConfig.from_options(
+            index, mo, self.mid_occ, max_read_len,
+            min(seed_budget, dmax), min(shift_seed_budget, dmax), hit_budget,
+        )
+        # LR voting keeps vt_nb_loc candidates (map.c:1310)
+        cfg = dataclass_replace(cfg, K=mo.vt_nb_loc)
+        tbl, shift_b, iters = bucket_table(index.keys, index.k)
+        cfg = dataclass_replace(cfg, bucket_shift=shift_b, bucket_iters=iters)
+        self._use_pallas_dp = jax.default_backend() == "tpu"
+        self.cfg = cfg
+        maps, pref, _ = ds._pattern_tables(cfg)
+        self.arrays = dict(
+            idx_keys=jnp.asarray(index.keys),
+            idx_starts=jnp.asarray(index.starts),
+            idx_positions=jnp.asarray(index.positions),
+            idx_buckets=jnp.asarray(tbl),
+            maps=jnp.asarray(maps),
+            pref=jnp.asarray(pref),
+        )
+        self._front = jax.jit(partial(lr_front, cfg=cfg))
+
+    # ------------------------------------------------------------------
     def _oracle_mi(self):
         if self._oracle_index is None:
             mi = self.mi
@@ -45,12 +102,237 @@ class LongReadMapper:
             self._oracle_index = _Wrap()
         return self._oracle_index
 
+    # ------------------------------------------------------------------
     def map_batch(self, reads: list[SeqRecord]) -> list[list[oal.Reg]]:
-        mi = self._oracle_mi()
-        return [
-            map_read_lr(mi, r.seq, self.mo, self.mid_occ, r.name) for r in reads
-        ]
+        B = len(reads)
+        results: list[list[oal.Reg] | None] = [None] * B
+        lens = np.array([r.l_seq for r in reads], np.int64)
+        host_only = (
+            np.ones(B, bool)
+            if (not self.device_enabled or self.mo.sdust_thres > 0)
+            else (lens > self.Lmax) | (lens == 0)
+        )
+        device_idx = np.where(~host_only)[0]
+        if len(device_idx):
+            fb = self._map_device(
+                [reads[i] for i in device_idx], lens[device_idx], results,
+                device_idx,
+            )
+            for j, i in enumerate(device_idx):
+                if fb[j]:
+                    host_only[i] = True
+        for i in np.where(host_only)[0]:
+            results[i] = olr.map_read_lr(
+                self._oracle_mi(), reads[i].seq, self.mo, self.mid_occ,
+                reads[i].name,
+            )
+        return results
 
     def map_stream(self, batches):
         for batch in batches:
             yield self.map_batch(batch)
+
+    # ------------------------------------------------------------------
+    def _map_device(self, reads, lens_np, results, result_idx):
+        mo, mi, cfg = self.mo, self.mi, self.cfg
+        B = len(reads)
+        codes = np.full((B, self.Lmax), 255, np.uint8)
+        for i, r in enumerate(reads):
+            codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
+
+        cov_thr = np.array(
+            [int(F32(l) * F32(mo.vt_cov)) for l in lens_np], np.int32
+        )
+        vt_dis = np.full(B, mo.vt_dis, np.uint64)
+        out = self._front(
+            jnp.asarray(codes), jnp.asarray(lens_np),
+            self.arrays["idx_keys"], self.arrays["idx_starts"],
+            self.arrays["idx_positions"], self.arrays["idx_buckets"],
+            self.arrays["maps"], self.arrays["pref"],
+            jnp.asarray(cov_thr), jnp.asarray(vt_dis),
+        )
+        fallback = np.asarray(out["fallback"]).copy()
+        extracted = np.asarray(out["extracted"])
+        k_score = np.asarray(out["k_score"])
+        k_ft = np.asarray(out["k_first_t"])
+        k_lt = np.asarray(out["k_last_t"])
+        k_fq = np.asarray(out["k_fq"])
+        k_lq = np.asarray(out["k_lq"])
+        k_str = np.asarray(out["k_str"])
+        out_len = np.asarray(out["out_len"])
+
+        # ---- host: filters + round-2 windows (oracle stage functions) ----
+        per_read: list[list[olr.VtSeq] | None] = [None] * B
+        lo1 = np.zeros(B, np.int32)
+        hi1 = np.zeros(B, np.int32)
+        lo2 = np.zeros(B, np.int32)
+        hi2 = np.zeros(B, np.int32)
+        covs = np.zeros(B, np.int64)
+        for i in range(B):
+            if fallback[i]:
+                continue
+            seqs = [
+                olr.VtSeq(
+                    chrom_id=int(k_ft[i, c]) >> 32,
+                    first_target_loc=int(k_ft[i, c]) & U32,
+                    last_target_loc=int(k_lt[i, c]) & U32,
+                    first_query_loc=int(k_fq[i, c]),
+                    last_query_loc=int(k_lq[i, c]),
+                    str=int(k_str[i, c]),
+                    score=int(k_score[i, c]),
+                )
+                for c in range(int(out_len[i]))
+            ]
+            if not seqs:
+                per_read[i] = []
+                continue
+            qlen_sum = int(lens_np[i])
+            seqs, qrstart, qrend = olr.apply_filters(seqs, mo, mi.k, qlen_sum)
+            per_read[i] = seqs
+            covs[i] = cov_thr[i]
+            if seqs and qrstart > cov_thr[i]:
+                lo1[i], hi1[i] = 0, qrstart
+            if seqs and qlen_sum - qrend > cov_thr[i]:
+                lo2[i], hi2[i] = qrend, qlen_sum
+
+        # ---- device round-2 voting (degenerate windows find nothing) ----
+        for lo, hi in ((lo1, hi1), (lo2, hi2)):
+            if not (hi > lo).any():
+                continue
+            vt2 = _vote2_scan(
+                out["keys"], out["qv"], out["okv"], out["strand_stream"],
+                out["extracted"], jnp.asarray(vt_dis),
+                jnp.asarray(lo), jnp.asarray(hi),
+            )
+            b_score = np.asarray(vt2["b_score"])
+            b_ft = np.asarray(vt2["b_first_t"])
+            b_lt = np.asarray(vt2["b_last_t"])
+            b_fq = np.asarray(vt2["b_fq"])
+            b_lq = np.asarray(vt2["b_lq"])
+            b_str = np.asarray(vt2["b_str"])
+            for i in range(B):
+                if fallback[i] or per_read[i] is None or not per_read[i]:
+                    continue
+                if hi[i] <= lo[i]:
+                    continue
+                cand = olr.VtSeq(
+                    chrom_id=int(b_ft[i]) >> 32,
+                    first_target_loc=int(b_ft[i]) & U32,
+                    last_target_loc=int(b_lt[i]) & U32,
+                    first_query_loc=int(b_fq[i]),
+                    last_query_loc=int(b_lq[i]),
+                    str=int(b_str[i]),
+                    score=int(b_score[i]),
+                )
+                olr.accept_round2(cand, mo, mi.k, per_read[i])
+
+        # ---- host: concat graph + window geometry ----
+        all_jobs = []  # (read i, job tuple)
+        strands: list[tuple[np.ndarray, np.ndarray] | None] = [None] * B
+        for i in range(B):
+            if fallback[i] or per_read[i] is None:
+                continue
+            seqs = per_read[i]
+            if not seqs:
+                results[result_idx[i]] = []
+                continue
+            olr.build_concat_graph(seqs, mo)
+            qlen_sum = int(lens_np[i])
+            qs_for = codes[i, :qlen_sum].astype(np.uint8)
+            qs_rev = (qs_for[::-1] ^ 0x3).astype(np.uint8)
+            strands[i] = (qs_for, qs_rev)
+            jobs = olr.prepare_segments(
+                self._oracle_mi(), mo, qs_for, qs_rev, qlen_sum, seqs
+            )
+            for job in jobs:
+                all_jobs.append((i, job))
+
+        # ---- batched segment DP (bucketed) ----
+        ezs = self._align_jobs(all_jobs, lens_np, fallback)
+
+        # ---- finish per read ----
+        by_read: dict[int, tuple[list, list]] = {}
+        for (i, job), ez in zip(all_jobs, ezs):
+            by_read.setdefault(i, ([], []))
+            by_read[i][0].append(job)
+            by_read[i][1].append(ez)
+        for i in range(B):
+            if fallback[i] or per_read[i] is None or not per_read[i]:
+                continue
+            jobs, ez_list = by_read.get(i, ([], []))
+            qs_for, qs_rev = strands[i]
+            results[result_idx[i]] = olr.finalize_read(
+                self._oracle_mi(), mo, qs_for, qs_rev, int(lens_np[i]),
+                per_read[i], jobs, ez_list,
+            )
+        return fallback
+
+    # ------------------------------------------------------------------
+    def _align_jobs(self, all_jobs, lens_np, fallback):
+        """Per-segment DP: exact-match short-circuit, then length-bucketed
+        batched kernel calls (TPU) or the scalar oracle kernel (CPU)."""
+        mo = self.mo
+        ezs: list = [None] * len(all_jobs)
+        buckets: dict[int, list[int]] = {bi: [] for bi in range(len(DP_BUCKETS))}
+        for n, (i, (s, qwin, twin, exact, qlen)) in enumerate(all_jobs):
+            if fallback[i]:
+                ezs[n] = (oal.NEG_INF, [])
+                continue
+            if exact:
+                ezs[n] = (int(lens_np[i]) * mo.a, [(int(qlen), oal.CIGAR_MATCH)])
+                continue
+            if not self._use_pallas_dp:
+                ez = oal.extd2(
+                    qwin, twin, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,
+                    mo.bw, mo.zdrop, mo.end_bonus, oal.KSW_EZ_APPROX_MAX,
+                )
+                ezs[n] = (ez.score, list(ez.cigar))
+                continue
+            placed = False
+            for bi, (lq, lt) in enumerate(DP_BUCKETS):
+                if len(qwin) <= lq and len(twin) <= lt:
+                    buckets[bi].append(n)
+                    placed = True
+                    break
+            if not placed:  # beyond the largest bucket
+                ez = oal.extd2(
+                    qwin, twin, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,
+                    mo.bw, mo.zdrop, mo.end_bonus, oal.KSW_EZ_APPROX_MAX,
+                )
+                ezs[n] = (ez.score, list(ez.cigar))
+
+        for bi, members in buckets.items():
+            if not members:
+                continue
+            lq, lt = DP_BUCKETS[bi]
+            N = len(members)
+            Q = np.zeros((N, lq), np.uint8)
+            T = np.zeros((N, lt), np.uint8)
+            qlens = np.zeros(N, np.int32)
+            tlens = np.zeros(N, np.int32)
+            for j, n in enumerate(members):
+                _, (s, qwin, twin, exact, _q) = all_jobs[n]
+                Q[j, : len(qwin)] = qwin
+                T[j, : len(twin)] = twin
+                qlens[j] = len(qwin)
+                tlens[j] = len(twin)
+            band = np.full(N, mo.bw, np.int32)
+            from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+
+            score, dirs, offs, offe = extd2_batch_pallas(
+                jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens),
+                jnp.asarray(band), tuple(self.cfg.params), lq,
+                tlens=jnp.asarray(tlens), Lt=lt,
+            )
+            ops, fin_i, fin_j = ds._backtrack_device(
+                dirs, jnp.asarray(qlens), jnp.asarray(band), lq,
+                tlens=jnp.asarray(tlens), Lt=lt,
+            )
+            score = np.asarray(score)
+            cigs = dpk.cigars_from_ops(
+                np.asarray(ops), np.asarray(fin_i), np.asarray(fin_j), qlens
+            )
+            for j, n in enumerate(members):
+                sc = int(score[j])
+                ezs[n] = (sc, cigs[j] if sc != oal.NEG_INF else [])
+        return ezs
