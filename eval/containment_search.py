@@ -61,18 +61,19 @@ def cmd_search(index_path: str, query: str, chunk_len: int = 2000,
         "map-hifi", variant="lr", pattern=mi.pattern, k=mi.k, w=mi.w,
         min_dp_max=min_dp,
     )
-    mapper = LongReadMapper(mi, mo)
-    t0 = time.perf_counter()
-    n_chunks = n_hit = 0
+    mapper = LongReadMapper(mi, mo, max_read_len=max(chunk_len, 512))
+    chunks = []
     for rec in read_fastx(query):
         for st in range(0, rec.l_seq, chunk_len):
             chunk = rec.seq[st : st + chunk_len]
-            if len(chunk) < mi.k:
-                continue
-            n_chunks += 1
-            regs = mapper.map_batch(
-                [SeqRecord(f"{rec.name}_{st}", chunk)]
-            )[0]
+            if len(chunk) >= mi.k:
+                chunks.append(SeqRecord(f"{rec.name}_{st}", chunk))
+    t0 = time.perf_counter()
+    n_chunks = len(chunks)
+    n_hit = 0
+    B = 64
+    for s in range(0, n_chunks, B):
+        for regs in mapper.map_batch(chunks[s : s + B]):
             if regs:
                 n_hit += 1
     dt = time.perf_counter() - t0
