@@ -396,6 +396,16 @@ def unpack_outputs(meta: np.ndarray, K: int) -> dict:
     return out
 
 
+def split_packed(packed: np.ndarray, K: int, Lmax: int) -> tuple[dict, np.ndarray]:
+    """Host inverse of the fused step's single packed tensor: returns
+    (unpacked meta dict, ops [B, K, 2*Lmax//4])."""
+    B = packed.shape[0]
+    F = len(PACK_B) + len(PACK_BK) * K
+    meta = packed[:, : F * 4].copy().view(np.int32).reshape(B, F)
+    ops = packed[:, F * 4 :].reshape(B, K, 2 * Lmax // 4)
+    return unpack_outputs(meta, K), ops
+
+
 def collect_hits(
     codes,  # [B, Lmax] uint8 (255 pad)
     lens,  # [B] int64
@@ -732,10 +742,14 @@ def fused_map_step(
         "fin_i": fin_i.reshape(B, K),
         "fin_j": fin_j.reshape(B, K),
     }
-    return {
-        "meta": pack_outputs(fields, K),
-        "ops": pack_ops(ops).reshape(B, K, 2 * cfg.Lmax // 4),
-    }
+    meta = pack_outputs(fields, K)
+    ops_packed = pack_ops(ops).reshape(B, K * (2 * cfg.Lmax // 4))
+    # one device->host copy per batch: bitcast the i32 meta to bytes and
+    # concatenate with the 2-bit op streams
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(
+        B, meta.shape[1] * 4
+    )
+    return {"packed": jnp.concatenate([meta_u8, ops_packed], axis=1)}
 
 
 class FusedMapper:

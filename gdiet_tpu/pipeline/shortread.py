@@ -28,7 +28,7 @@ from gdiet_tpu.oracle import align as oal
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.oracle.pipeline import map_read, set_sam_params
 from gdiet_tpu.ops import dp as dpk
-from gdiet_tpu.pipeline.device_step import FusedMapper, unpack_ops, unpack_outputs
+from gdiet_tpu.pipeline.device_step import FusedMapper, split_packed, unpack_ops
 
 U32 = 0xFFFFFFFF
 
@@ -153,8 +153,7 @@ class ShortReadMapper:
         mo, mi = self.mo, self.mi
         B = len(lens_np)
         K = self.fused.cfg.K
-        out = unpack_outputs(np.asarray(dev["meta"]), K)
-        ops = np.asarray(dev["ops"])
+        out, ops = split_packed(np.asarray(dev["packed"]), K, self.fused.cfg.Lmax)
 
         fallback = out["fallback"]
         live = out["c_valid"] & ~fallback[:, None]
