@@ -142,9 +142,12 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
         mi.save(str(idx_path))
 
     reads = list(read_fastx(str(fq)))
-    B = 1024
+    B = 4096
     Lmax = 192
-    mapper = ShortReadMapper(mi, mo, max_read_len=Lmax, hit_budget=1024)
+    mapper = ShortReadMapper(
+        mi, mo, max_read_len=Lmax, seed_budget=64, shift_seed_budget=16,
+        hit_budget=512,
+    )
 
     # warmup / compile
     t0 = time.perf_counter()

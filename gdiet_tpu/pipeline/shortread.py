@@ -184,23 +184,36 @@ class ShortReadMapper:
                 ts, te = int(out["ts"][i, c]), int(out["te"][i, c])
                 chrom = int(out["chrom"][i, c])
                 if out["exact"][i, c]:
+                    # exact windows skip fix_cigar/update_extra: a single
+                    # all-match op has mlen = blen = length - n_ambi and
+                    # dp_max = a * mlen (ambiguous bases score 0)
                     ez_score = qlen * mo.a
-                    cigar = [(length, oal.CIGAR_MATCH)]
+                    off = int(mi.seq_offsets[chrom])
+                    twin = mi.codes[off + ts : off + te + 1]
+                    n_ambi = int((twin > 3).sum())
+                    r = oal.Reg(
+                        rid=chrom, score=ez_score, qs=so, qe=eo + 1,
+                        rs=ts, re=te + 1, rev=rev,
+                        cigar=[(length, oal.CIGAR_MATCH)],
+                        dp_score=ez_score, blen=length - n_ambi,
+                        mlen=length - n_ambi, n_ambi=n_ambi,
+                        dp_max=mo.a * (length - n_ambi),
+                    )
                 else:
                     ez_score = int(out["dp_score"][i, c])
                     cigar = cigs_by_n.get(n, [])
-                r = oal.Reg(
-                    rid=chrom, score=ez_score, qs=so, qe=eo + 1,
-                    rs=ts, re=te + 1, rev=rev, cigar=list(cigar),
-                    dp_score=ez_score,
-                )
-                if rev:
-                    qwin = (codes_np[i, so : eo + 1][::-1]) ^ 3
-                else:
-                    qwin = codes_np[i, so : eo + 1]
-                off = int(mi.seq_offsets[chrom])
-                twin = mi.codes[off + ts : off + te + 1]
-                oal.update_extra(r, qwin, twin, mo.a, mo.b, mo.q, mo.e)
+                    r = oal.Reg(
+                        rid=chrom, score=ez_score, qs=so, qe=eo + 1,
+                        rs=ts, re=te + 1, rev=rev, cigar=list(cigar),
+                        dp_score=ez_score,
+                    )
+                    if rev:
+                        qwin = (codes_np[i, so : eo + 1][::-1]) ^ 3
+                    else:
+                        qwin = codes_np[i, so : eo + 1]
+                    off = int(mi.seq_offsets[chrom])
+                    twin = mi.codes[off + ts : off + te + 1]
+                    oal.update_extra(r, qwin, twin, mo.a, mo.b, mo.q, mo.e)
                 clip0 = qlen - r.qe if r.rev else r.qs
                 clip1 = r.qs if r.rev else qlen - r.qe
                 if not (clip0 < qlen and clip1 < qlen) or r.dp_score < mo.min_dp_max:
