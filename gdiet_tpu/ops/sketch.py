@@ -124,17 +124,45 @@ def kmer_scan(
 
     mask = jnp.uint64((1 << (2 * k)) - 1)
 
-    # direct k-mer construction: base i-j contributes bits [2j, 2j+1] of the
-    # forward k-mer ending at i and bits [2(k-1-j), ...] of its complement
-    # (equivalent to the reference's rolling update, sketch.c:1651-1656,
-    # wherever a full valid window exists — elsewhere masked by l < k).
-    # Fully parallel, unlike a sequential scan over positions.
-    kf = jnp.zeros((B, D), jnp.uint64)
-    kr = jnp.zeros((B, D), jnp.uint64)
-    for j in range(k):
-        cj = _shift_right(codes, j, jnp.uint64(0))
-        kf = kf | (cj << jnp.uint64(2 * j))
-        kr = kr | ((jnp.uint64(3) ^ cj) << jnp.uint64(2 * (k - 1 - j)))
+    # k-mer construction by binary doubling: kmer_{l+m}[i] =
+    # kmer_l[i-m] << 2m | kmer_m[i] (and the mirrored identity for the
+    # reverse complement), so a k-mer needs ~2*log2(k) u64 shift-ors instead
+    # of k. Equivalent to the reference's rolling update (sketch.c:1651-1656)
+    # wherever a full valid window exists — elsewhere masked by l < k.
+    segs = {1: codes & jnp.uint64(3)}
+    segs_r = {1: (jnp.uint64(3) ^ codes) & jnp.uint64(3)}
+    l_ = 1
+    while l_ * 2 <= k:
+        segs[l_ * 2] = (
+            _shift_right(segs[l_], l_, jnp.uint64(0)) << jnp.uint64(2 * l_)
+        ) | segs[l_]
+        segs_r[l_ * 2] = (segs_r[l_] << jnp.uint64(2 * l_)) | _shift_right(
+            segs_r[l_], l_, jnp.uint64(0)
+        )
+        l_ *= 2
+
+    def build(target: int):
+        done = 0
+        kf_ = None
+        kr_ = None
+        bit = 1
+        while bit <= target:
+            if target & bit:
+                if kf_ is None:
+                    kf_, kr_ = segs[bit], segs_r[bit]
+                    done = bit
+                else:
+                    kf_ = (
+                        _shift_right(kf_, bit, jnp.uint64(0)) << jnp.uint64(2 * bit)
+                    ) | segs[bit]
+                    kr_ = (segs_r[bit] << jnp.uint64(2 * done)) | _shift_right(
+                        kr_, bit, jnp.uint64(0)
+                    )
+                    done += bit
+            bit <<= 1
+        return kf_, kr_
+
+    kf, kr = build(k)
     kf = kf & mask
     kr = kr & mask
 
