@@ -199,6 +199,122 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
     return rps, stats
 
 
+LR_REF_ARGS = [
+    "-a", "-t", "1", "-x", "map-hifi", "-Z", "10", "-W", "2", "-k", "19",
+    "-w", "19", "-i", "0.2", "-r", "500", "--vt_dis=650", "--vt_nb_loc=5",
+    "--vt_df1=0.0106", "--vt_df2=0.2", "-s", "200", "--vt_cov", "0.04",
+    "--vt_f=0.04",
+]
+
+
+def gen_lr_reads(fa: pathlib.Path) -> pathlib.Path:
+    fq = BENCH_DIR / "reads_lr.fq"
+    if fq.exists():
+        return fq
+    rng = np.random.default_rng(SEED + 1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = None
+    seq = "".join(
+        l.strip() for l in open(fa) if not l.startswith(">")
+    )
+    genome = np.frombuffer(seq.encode(), np.uint8)
+    lut = np.zeros(256, np.int64)
+    for i, c in enumerate(b"ACGT"):
+        lut[c] = i
+    g = lut[genome]
+    with open(fq, "w") as f:
+        for n in range(1000):
+            L = int(rng.integers(1500, 4000))
+            st = int(rng.integers(0, len(g) - L))
+            r = g[st : st + L].copy()
+            nsub = rng.binomial(L, 0.01)
+            for _ in range(nsub):
+                p = int(rng.integers(0, L))
+                r[p] = (r[p] + int(rng.integers(1, 4))) % 4
+            if rng.random() < 0.5:
+                r = 3 - r[::-1]
+            f.write(f"@h{n}\n{bases[r].tobytes().decode()}\n+\n{'I' * len(r)}\n")
+    return fq
+
+
+def lr_stats(fa: pathlib.Path) -> dict:
+    """Long-read throughput vs the reference LongReads binary (stderr stat)."""
+    import jax.numpy as jnp
+
+    from gdiet_tpu.config import options_for
+    from gdiet_tpu.index.build import build_index
+    from gdiet_tpu.io.fastx import read_fastx
+    from gdiet_tpu.pipeline.longread import LongReadMapper
+
+    out: dict = {}
+    fq = gen_lr_reads(fa)
+    lr_bin = pathlib.Path("/tmp/gdiet_ref/LR/GDiet")
+    if not lr_bin.exists():
+        try:
+            subprocess.run(["cp", "-r", "/root/reference/GDiet-LongReads",
+                            "/tmp/gdiet_ref/LR"], check=True)
+            subprocess.run(["make", "GDiet"], cwd="/tmp/gdiet_ref/LR",
+                           check=True, capture_output=True, timeout=600)
+        except Exception:
+            pass
+    if lr_bin.exists():
+        t0 = time.perf_counter()
+        subprocess.run(
+            [str(lr_bin), *LR_REF_ARGS, "-o", str(BENCH_DIR / "lr_ref.sam"),
+             str(fa), str(fq)],
+            check=True, capture_output=True, timeout=1800,
+        )
+        out["lr_ref_reads_per_sec"] = round(1000 / (time.perf_counter() - t0), 1)
+
+    io_, mo = options_for(
+        "map-hifi", variant="lr", pattern="10", k=19, w=19, max_seeds=0.2,
+        bw=500, vt_dis=650, vt_nb_loc=5, vt_df1=0.0106, vt_df2=0.2,
+        min_dp_max=200, vt_cov=0.04, vt_f=0.04,
+    )
+    refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
+    mi = build_index(refs, io_)
+    mapper = LongReadMapper(mi, mo, max_read_len=4096, seed_budget=512,
+                            shift_seed_budget=128, hit_budget=2048)
+    reads = list(read_fastx(str(fq)))
+    B = 128
+    mapper.map_batch(reads[:B])  # compile
+    t0 = time.perf_counter()
+    n_done = 0
+    for s in range(0, len(reads), B):
+        batch = reads[s : s + B]
+        if len(batch) < B:
+            batch = batch + [batch[0]] * (B - len(batch))
+        mapper.map_batch(batch)
+        n_done += B
+    out["lr_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 1)
+    return out
+
+
+def mcups_stat() -> float:
+    """Extend-kernel microbenchmark (the BASELINE.md north-star number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+
+    if jax.default_backend() != "tpu":
+        return 0.0
+    rng = np.random.default_rng(0)
+    N, L = 2048, 192
+    Q = jnp.asarray(rng.integers(0, 4, (N, L), dtype=np.uint8))
+    T = jnp.asarray(rng.integers(0, 4, (N, L), dtype=np.uint8))
+    lens = jnp.full((N,), 150, jnp.int32)
+    band = jnp.full((N,), 150, jnp.int32)
+    prm = (2, 8, 12, 2, 24, 1)
+    f = jax.jit(lambda q, t, l, b: extd2_batch_pallas(q, t, l, b, prm, L))
+    jax.block_until_ready(f(Q, T, lens, band))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(f(Q, T, lens, band))
+    dt = (time.perf_counter() - t0) / 5
+    return round(N * 150 * 150 / dt / 1e6, 0)
+
+
 def check_parity() -> float | None:
     """Fraction of identical SAM body lines between ours and the reference."""
     ref_sam = BENCH_DIR / "ref_out.sam"
@@ -220,6 +336,10 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet")
     fa, fq = gen_data()
     base = baseline_reads_per_sec(fa, fq)
+    try:
+        mcups = mcups_stat()
+    except Exception:
+        mcups = 0.0
     ours, stats = our_reads_per_sec(fa, fq)
     parity = check_parity()
     result = {
@@ -230,6 +350,11 @@ def main():
     }
     if parity is not None:
         stats["sam_parity"] = round(parity, 4)
+    stats["extend_kernel_mcups"] = mcups
+    try:
+        stats.update(lr_stats(fa))
+    except Exception as ex:  # aux stats are best-effort
+        log(f"aux stats failed: {ex}")
     log(f"stats: {json.dumps(stats)}")
     print(json.dumps(result))
 

@@ -308,8 +308,7 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None):
     lens = dp_lens.astype(i32)
     tl = lens if tlens is None else tlens.astype(i32)
     w = band.astype(i32)
-    flat = dirs.reshape(-1)
-    base = jnp.arange(N, dtype=i32) * (R * T)
+    n_idx = jnp.arange(N, dtype=i32)
 
     def step(carry, _):
         i, j, state, active = carry
@@ -325,7 +324,9 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None):
         force = jnp.full((N,), -1, i32)
         force = jnp.where(i < off_r, 2, force)
         force = jnp.where(i > off_end_r, 1, force)
-        tmp = jnp.take(flat, base + rc * T + jnp.clip(i, 0, T - 1)).astype(i32)
+        # 3-component gather: each index stays well under 32 bits even for
+        # long-read buckets where a flattened N*R*T index would overflow
+        tmp = dirs[n_idx, rc, jnp.clip(i, 0, T - 1)].astype(i32)
         tmp = jnp.where(force >= 0, 0, tmp)
         state = jnp.where(
             state == 0, tmp & 7,

@@ -136,9 +136,14 @@ class LongReadMapper:
     def _map_device(self, reads, lens_np, results, result_idx):
         mo, mi, cfg = self.mo, self.mi, self.cfg
         B = len(reads)
-        codes = np.full((B, self.Lmax), 255, np.uint8)
-        for i, r in enumerate(reads):
-            codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
+        from gdiet_tpu import native
+
+        if native.lib is not None:
+            codes, _ = native.encode_batch([r.seq for r in reads], self.Lmax)
+        else:
+            codes = np.full((B, self.Lmax), 255, np.uint8)
+            for i, r in enumerate(reads):
+                codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
 
         cov_thr = np.array(
             [int(F32(l) * F32(mo.vt_cov)) for l in lens_np], np.int32
@@ -301,38 +306,45 @@ class LongReadMapper:
                 )
                 ezs[n] = (ez.score, list(ez.cigar))
 
+        from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+
         for bi, members in buckets.items():
             if not members:
                 continue
             lq, lt = DP_BUCKETS[bi]
-            N = len(members)
-            Q = np.zeros((N, lq), np.uint8)
-            T = np.zeros((N, lt), np.uint8)
-            qlens = np.zeros(N, np.int32)
-            tlens = np.zeros(N, np.int32)
-            for j, n in enumerate(members):
-                _, (s, qwin, twin, exact, _q) = all_jobs[n]
-                Q[j, : len(qwin)] = qwin
-                T[j, : len(twin)] = twin
-                qlens[j] = len(qwin)
-                tlens[j] = len(twin)
-            band = np.full(N, mo.bw, np.int32)
-            from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
-
-            score, dirs, offs, offe = extd2_batch_pallas(
-                jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens),
-                jnp.asarray(band), tuple(self.cfg.params), lq,
-                tlens=jnp.asarray(tlens), Lt=lt,
-            )
-            ops, fin_i, fin_j = ds._backtrack_device(
-                dirs, jnp.asarray(qlens), jnp.asarray(band), lq,
-                tlens=jnp.asarray(tlens), Lt=lt,
-            )
-            score = np.asarray(score)
-            cigs = dpk.cigars_from_ops(
-                np.asarray(ops), np.asarray(fin_i), np.asarray(fin_j), qlens
-            )
-            for j, n in enumerate(members):
-                sc = int(score[j])
-                ezs[n] = (sc, cigs[j] if sc != oal.NEG_INF else [])
+            # bound the dirs tensor (R x N x T bytes) to ~1 GB per call
+            R = lq + lt
+            chunk = max(16, (1 << 30) // max(R * lt, 1) // 16 * 16)
+            for c0 in range(0, len(members), chunk):
+                sub = members[c0 : c0 + chunk]
+                N = len(sub)
+                Q = np.zeros((N, lq), np.uint8)
+                T = np.zeros((N, lt), np.uint8)
+                qlens = np.zeros(N, np.int32)
+                tlens = np.zeros(N, np.int32)
+                for j, n in enumerate(sub):
+                    _, (s, qwin, twin, exact, _q) = all_jobs[n]
+                    Q[j, : len(qwin)] = qwin
+                    T[j, : len(twin)] = twin
+                    qlens[j] = len(qwin)
+                    tlens[j] = len(twin)
+                band = np.full(N, mo.bw, np.int32)
+                score, dirs, offs, offe = extd2_batch_pallas(
+                    jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens),
+                    jnp.asarray(band), tuple(self.cfg.params), lq,
+                    tlens=jnp.asarray(tlens), Lt=lt,
+                )
+                ops, fin_i, fin_j = ds._backtrack_device(
+                    dirs, jnp.asarray(qlens), jnp.asarray(band), lq,
+                    tlens=jnp.asarray(tlens), Lt=lt,
+                )
+                del dirs
+                score = np.asarray(score)
+                cigs = dpk.cigars_from_ops(
+                    np.asarray(ops), np.asarray(fin_i), np.asarray(fin_j),
+                    qlens,
+                )
+                for j, n in enumerate(sub):
+                    sc = int(score[j])
+                    ezs[n] = (sc, cigs[j] if sc != oal.NEG_INF else [])
         return ezs

@@ -27,6 +27,7 @@ from gdiet_tpu.io.fastx import SeqRecord
 from gdiet_tpu.oracle import align as oal
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.oracle.pipeline import map_read, set_sam_params
+from gdiet_tpu import native
 from gdiet_tpu.ops import dp as dpk
 from gdiet_tpu.pipeline.device_step import FusedMapper, split_packed, unpack_ops
 
@@ -103,10 +104,13 @@ class ShortReadMapper:
     # ------------------------------------------------------------------
     def _prepare_and_dispatch(self, reads: list[SeqRecord]):
         B = len(reads)
-        lens = np.array([r.l_seq for r in reads], np.int64)
-        codes = np.full((B, self.Lmax), 255, np.uint8)
-        for i, r in enumerate(reads):
-            codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
+        if native.lib is not None:
+            codes, lens = native.encode_batch([r.seq for r in reads], self.Lmax)
+        else:
+            lens = np.array([r.l_seq for r in reads], np.int64)
+            codes = np.full((B, self.Lmax), 255, np.uint8)
+            for i, r in enumerate(reads):
+                codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
         host_only = lens > min(300, self.Lmax)
         if self.mo.sdust_thres > 0:
             # SDUST masking is host-side (ops/sdust.py); route through the
@@ -160,12 +164,15 @@ class ShortReadMapper:
         need = np.where((live & ~out["exact"]).reshape(-1))[0]
         cigs_by_n: dict[int, list] = {}
         if len(need):
-            sub = dpk.cigars_from_ops(
-                unpack_ops(ops.reshape(B * K, -1)[need]),
-                out["fin_i"].reshape(-1)[need],
-                out["fin_j"].reshape(-1)[need],
-                out["length"].reshape(-1)[need],
-            )
+            op_rows = unpack_ops(ops.reshape(B * K, -1)[need])
+            fin_i = out["fin_i"].reshape(-1)[need]
+            fin_j = out["fin_j"].reshape(-1)[need]
+            lens_n = out["length"].reshape(-1)[need]
+            sub = None
+            if native.lib is not None:
+                sub = native.rle_ops(op_rows, fin_i, fin_j, lens_n)
+            if sub is None:
+                sub = dpk.cigars_from_ops(op_rows, fin_i, fin_j, lens_n)
             cigs_by_n = dict(zip(need.tolist(), sub))
 
         regs_per_read: list[list[oal.Reg]] = [[] for _ in range(B)]
