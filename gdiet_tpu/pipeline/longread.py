@@ -31,7 +31,7 @@ from gdiet_tpu.oracle import longread as olr
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.ops import dp as dpk
 from gdiet_tpu.pipeline import device_step as ds
-from gdiet_tpu.pipeline.lr_step import _vote2_scan, lr_front
+from gdiet_tpu.pipeline.lr_step import lr_front, unpack_lr_meta, vote2_packed
 
 F32 = np.float32
 U32 = 0xFFFFFFFF
@@ -81,6 +81,8 @@ class LongReadMapper:
             pref=jnp.asarray(pref),
         )
         self._front = jax.jit(partial(lr_front, cfg=cfg))
+        self._vote2 = jax.jit(vote2_packed)
+        self._bucket_fns: dict = {}
 
     # ------------------------------------------------------------------
     def _oracle_mi(self):
@@ -150,21 +152,21 @@ class LongReadMapper:
         )
         vt_dis = np.full(B, mo.vt_dis, np.uint64)
         out = self._front(
-            jnp.asarray(codes), jnp.asarray(lens_np),
+            jnp.asarray(codes), jnp.asarray(lens_np.astype(np.int64)),
             self.arrays["idx_keys"], self.arrays["idx_starts"],
             self.arrays["idx_positions"], self.arrays["idx_buckets"],
             self.arrays["maps"], self.arrays["pref"],
             jnp.asarray(cov_thr), jnp.asarray(vt_dis),
         )
-        fallback = np.asarray(out["fallback"]).copy()
-        extracted = np.asarray(out["extracted"])
-        k_score = np.asarray(out["k_score"])
-        k_ft = np.asarray(out["k_first_t"])
-        k_lt = np.asarray(out["k_last_t"])
-        k_fq = np.asarray(out["k_fq"])
-        k_lq = np.asarray(out["k_lq"])
-        k_str = np.asarray(out["k_str"])
-        out_len = np.asarray(out["out_len"])
+        meta = unpack_lr_meta(np.asarray(out["meta"]), cfg.K)
+        fallback = meta["fallback"].copy()
+        k_score = meta["k_score"]
+        k_ft = meta["k_first_t"]
+        k_lt = meta["k_last_t"]
+        k_fq = meta["k_fq"]
+        k_lq = meta["k_lq"]
+        k_str = meta["k_str"]
+        out_len = meta["out_len"]
 
         # ---- host: filters + round-2 windows (oracle stage functions) ----
         per_read: list[list[olr.VtSeq] | None] = [None] * B
@@ -204,30 +206,25 @@ class LongReadMapper:
         for lo, hi in ((lo1, hi1), (lo2, hi2)):
             if not (hi > lo).any():
                 continue
-            vt2 = _vote2_scan(
+            vt2 = np.asarray(self._vote2(
                 out["keys"], out["qv"], out["okv"], out["strand_stream"],
                 out["extracted"], jnp.asarray(vt_dis),
                 jnp.asarray(lo), jnp.asarray(hi),
-            )
-            b_score = np.asarray(vt2["b_score"])
-            b_ft = np.asarray(vt2["b_first_t"])
-            b_lt = np.asarray(vt2["b_last_t"])
-            b_fq = np.asarray(vt2["b_fq"])
-            b_lq = np.asarray(vt2["b_lq"])
-            b_str = np.asarray(vt2["b_str"])
+            ))
+            u32 = lambda x: int(x) & U32
             for i in range(B):
                 if fallback[i] or per_read[i] is None or not per_read[i]:
                     continue
                 if hi[i] <= lo[i]:
                     continue
                 cand = olr.VtSeq(
-                    chrom_id=int(b_ft[i]) >> 32,
-                    first_target_loc=int(b_ft[i]) & U32,
-                    last_target_loc=int(b_lt[i]) & U32,
-                    first_query_loc=int(b_fq[i]),
-                    last_query_loc=int(b_lq[i]),
-                    str=int(b_str[i]),
-                    score=int(b_score[i]),
+                    chrom_id=u32(vt2[i, 4]),
+                    first_target_loc=u32(vt2[i, 5]),
+                    last_target_loc=u32(vt2[i, 7]),
+                    first_query_loc=int(vt2[i, 1]),
+                    last_query_loc=int(vt2[i, 2]),
+                    str=int(vt2[i, 3]),
+                    score=int(vt2[i, 0]),
                 )
                 olr.accept_round2(cand, mo, mi.k, per_read[i])
 
@@ -306,7 +303,8 @@ class LongReadMapper:
                 )
                 ezs[n] = (ez.score, list(ez.cigar))
 
-        from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+        from gdiet_tpu import native
+        from gdiet_tpu.pipeline.device_step import unpack_ops
 
         for bi, members in buckets.items():
             if not members:
@@ -315,6 +313,7 @@ class LongReadMapper:
             # bound the dirs tensor (R x N x T bytes) to ~1 GB per call
             R = lq + lt
             chunk = max(16, (1 << 30) // max(R * lt, 1) // 16 * 16)
+            run = self._bucket_fn(lq, lt)
             for c0 in range(0, len(members), chunk):
                 sub = members[c0 : c0 + chunk]
                 N = len(sub)
@@ -329,22 +328,50 @@ class LongReadMapper:
                     qlens[j] = len(qwin)
                     tlens[j] = len(twin)
                 band = np.full(N, mo.bw, np.int32)
-                score, dirs, offs, offe = extd2_batch_pallas(
+                packed = np.asarray(run(
                     jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens),
-                    jnp.asarray(band), tuple(self.cfg.params), lq,
-                    tlens=jnp.asarray(tlens), Lt=lt,
-                )
-                ops, fin_i, fin_j = ds._backtrack_device(
-                    dirs, jnp.asarray(qlens), jnp.asarray(band), lq,
-                    tlens=jnp.asarray(tlens), Lt=lt,
-                )
-                del dirs
-                score = np.asarray(score)
-                cigs = dpk.cigars_from_ops(
-                    np.asarray(ops), np.asarray(fin_i), np.asarray(fin_j),
-                    qlens,
-                )
+                    jnp.asarray(tlens), jnp.asarray(band),
+                ))
+                score = packed[:, :4].copy().view(np.int32)[:, 0]
+                fin_i = packed[:, 4:8].copy().view(np.int32)[:, 0]
+                fin_j = packed[:, 8:12].copy().view(np.int32)[:, 0]
+                op_rows = unpack_ops(packed[:, 12:])
+                cigs = None
+                if native.lib is not None:
+                    cigs = native.rle_ops(op_rows, fin_i, fin_j, qlens,
+                                          max_runs=1024)
+                if cigs is None:
+                    cigs = dpk.cigars_from_ops(op_rows, fin_i, fin_j, qlens)
                 for j, n in enumerate(sub):
                     sc = int(score[j])
                     ezs[n] = (sc, cigs[j] if sc != oal.NEG_INF else [])
         return ezs
+
+    def _bucket_fn(self, lq: int, lt: int):
+        """Jitted DP+backtrack for one (lq, lt) bucket with ONE packed u8
+        output (score | fin_i | fin_j | 2-bit op stream) per candidate."""
+        key = (lq, lt)
+        if key in self._bucket_fns:
+            return self._bucket_fns[key]
+        params = tuple(self.cfg.params)
+        from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+        from gdiet_tpu.pipeline.device_step import pack_ops
+
+        @jax.jit
+        def run(Q, T, qlens, tlens, band):
+            score, dirs, offs, offe = extd2_batch_pallas(
+                Q, T, qlens, band, params, lq, tlens=tlens, Lt=lt,
+            )
+            ops, fin_i, fin_j = ds._backtrack_device(
+                dirs, qlens, band, lq, tlens=tlens, Lt=lt,
+            )
+            N = Q.shape[0]
+            b = lambda x: jax.lax.bitcast_convert_type(
+                x[:, None].astype(jnp.int32), jnp.uint8
+            ).reshape(N, 4)
+            return jnp.concatenate(
+                [b(score), b(fin_i), b(fin_j), pack_ops(ops)], axis=1
+            )
+
+        self._bucket_fns[key] = run
+        return run

@@ -248,13 +248,72 @@ def lr_front(
     vt = _vote_scan_lr(
         keys, qv, okv, strand_stream, extracted, vt_dis, cov_thr, cfg.K
     )
+    # single packed [B, 4 + 8K] i32 tensor for the host (the TPU link has
+    # high per-transfer latency); u64 target fields split into hi/lo words
+    i32 = jnp.int32
+    cols = [
+        fallback.astype(i32)[:, None],
+        shift.astype(i32)[:, None],
+        extracted.astype(i32)[:, None],
+        vt["out_len"][:, None],
+        vt["k_score"],
+        vt["k_fq"],
+        vt["k_lq"],
+        vt["k_str"],
+        (vt["k_first_t"] >> jnp.uint64(32)).astype(i32),
+        (vt["k_first_t"] & jnp.uint64(0xFFFFFFFF)).astype(i32),
+        (vt["k_last_t"] >> jnp.uint64(32)).astype(i32),
+        (vt["k_last_t"] & jnp.uint64(0xFFFFFFFF)).astype(i32),
+    ]
     return {
-        "fallback": fallback,
-        "shift": shift,
+        "meta": jnp.concatenate(cols, axis=1),
         "extracted": extracted,
         "keys": keys,
         "qv": qv,
         "okv": okv,
         "strand_stream": strand_stream,
-        **vt,
     }
+
+
+LR_META_B = 4  # fallback, shift, extracted, out_len
+LR_META_BK = 8  # score, fq, lq, str, ft_hi, ft_lo, lt_hi, lt_lo
+
+
+def unpack_lr_meta(meta, K: int) -> dict:
+    """Host inverse of lr_front's packed meta."""
+    import numpy as np
+
+    u32 = lambda x: x.astype(np.int64) & 0xFFFFFFFF
+    out = {
+        "fallback": meta[:, 0].astype(bool),
+        "shift": meta[:, 1],
+        "extracted": meta[:, 2],
+        "out_len": meta[:, 3],
+    }
+    base = LR_META_B
+    names = ("k_score", "k_fq", "k_lq", "k_str", "ft_hi", "ft_lo", "lt_hi",
+             "lt_lo")
+    for f, name in enumerate(names):
+        out[name] = meta[:, base + f * K : base + (f + 1) * K]
+    out["k_first_t"] = (u32(out.pop("ft_hi")) << 32) | u32(out.pop("ft_lo"))
+    out["k_last_t"] = (u32(out.pop("lt_hi")) << 32) | u32(out.pop("lt_lo"))
+    return out
+
+
+def vote2_packed(keys, qv, okv, strand_stream, extracted, vt_dis, lo, hi):
+    """Round-2 scan with a single packed [B, 8] i32 result."""
+    vt2 = _vote2_scan(keys, qv, okv, strand_stream, extracted, vt_dis, lo, hi)
+    i32 = jnp.int32
+    return jnp.stack(
+        [
+            vt2["b_score"],
+            vt2["b_fq"],
+            vt2["b_lq"],
+            vt2["b_str"],
+            (vt2["b_first_t"] >> jnp.uint64(32)).astype(i32),
+            (vt2["b_first_t"] & jnp.uint64(0xFFFFFFFF)).astype(i32),
+            (vt2["b_last_t"] >> jnp.uint64(32)).astype(i32),
+            (vt2["b_last_t"] & jnp.uint64(0xFFFFFFFF)).astype(i32),
+        ],
+        axis=1,
+    )
