@@ -31,7 +31,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0x40000000
-NB = 16  # candidates per grid program (VPU sublane multiple)
 
 # columns of the per-row scalar scratch (sc_s[NB, 128])
 _H0, _LT, _LST, _LEN, _SCORE = 0, 1, 2, 3, 4
@@ -67,9 +66,12 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
                     u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
                     *, T, TQ, scoring):
     a, b, q, e, q2, e2, long_thres, long_diff = scoring
+    NB = meta_ref.shape[0]
+    U = dirs_ref.shape[0]  # wavefronts per grid step (unroll factor)
     i32 = jnp.int32
-    r = pl.program_id(1).astype(i32)
-    R = pl.num_programs(1)
+    g = pl.program_id(1).astype(i32)
+    r0 = g * U
+    G = pl.num_programs(1)
 
     # all literals must be i32-typed: weak python ints inside jnp.where
     # default to i64 under x64
@@ -84,7 +86,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     i0, i1, i2, i3, i4 = (jnp.int32(n) for n in range(5))
     b08, b10, b20, b40 = (jnp.int32(n) for n in (0x08, 0x10, 0x20, 0x40))
 
-    @pl.when(r == 0)
+    @pl.when(r0 == 0)
     def _init():
         u_s[:, :] = jnp.full((NB, T), qe_init, i32)
         v_s[:, :] = jnp.full((NB, T), qe_init, i32)
@@ -110,120 +112,130 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     x, y = x_s[:, :], y_s[:, :]
     x2, y2 = x2_s[:, :], y2_s[:, :]
     s = s_s[:, :]
+    qv_diag = qv_s[:, :]
     H0 = sc_s[:, _H0:_H0 + 1]
     lt = sc_s[:, _LT:_LT + 1]
     last_st = sc_s[:, _LST:_LST + 1]
     last_en = sc_s[:, _LEN:_LEN + 1]
     score = sc_s[:, _SCORE:_SCORE + 1]
 
-    # advance the anti-diagonal query vector: qv_diag[t] = query[r-t]
-    qv_diag = jnp.where(
-        lanes == 0, _row_gather(qpad, jnp.full((NB, 1), r, i32)),
-        pltpu.roll(qv_s[:, :], 1, axis=1),
-    )
-    qv_s[:, :] = qv_diag
+    for uu in range(U):
+        r = r0 + uu
+        # advance the anti-diagonal query vector: qv_diag[t] = query[r-t]
+        qv_diag = jnp.where(
+            lanes == 0, _row_gather(qpad, jnp.full((NB, 1), r, i32)),
+            pltpu.roll(qv_diag, 1, axis=1),
+        )
 
-    st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wband + 1) >> 1)
-    en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wband) >> 1)
-    live = (st0 <= en0) & (r < qlen + tlen - 1) & (qlen > 0)
-    st = st0 // 16 * 16
-    en = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wband + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wband) >> 1)
+        live = (st0 <= en0) & (r < qlen + tlen - 1) & (qlen > 0)
+        st = st0 // 16 * 16
+        en = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
 
-    # boundary values (ksw2_extd2_sse.c:149-163)
-    prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
-    x1 = jnp.where(prev_ok, _row_gather(x, st - 1), qe_init)
-    x21 = jnp.where(prev_ok, _row_gather(x2, st - 1), qe2_init)
-    bu = jnp.where(
-        r == 0, qe_init,
-        jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
-    )
-    v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1), qe_init), bu)
+        # boundary values (ksw2_extd2_sse.c:149-163)
+        prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
+        x1 = jnp.where(prev_ok, _row_gather(x, st - 1), qe_init)
+        x21 = jnp.where(prev_ok, _row_gather(x2, st - 1), qe2_init)
+        bu = jnp.where(
+            r == 0, qe_init,
+            jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
+        )
+        v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1), qe_init), bu)
 
-    # edge-lane init at t == r
-    at_edge = (lanes == r) & (en >= r) & live
-    y = jnp.where(at_edge, qe_init, y)
-    y2 = jnp.where(at_edge, qe2_init, y2)
-    u = jnp.where(at_edge, bu, u)
+        # edge-lane init at t == r
+        at_edge = (lanes == r) & (en >= r) & live
+        y = jnp.where(at_edge, qe_init, y)
+        y2 = jnp.where(at_edge, qe2_init, y2)
+        u = jnp.where(at_edge, bu, u)
 
-    # substitution scores for lanes [st0, st0+16*ceil(span/16))
-    span16 = (en0 - st0) // 16 * 16 + 16
-    in_s = (lanes >= st0) & (lanes < st0 + span16) & live
-    qi_ok = (lanes <= r) & ((r - lanes) < qlen)
-    qv = jnp.where(qi_ok, qv_diag, 0)
-    nmask = (sf == 4) | (qv == 4)
-    sval = jnp.where(sf == qv, c_mch, c_mis)
-    sval = jnp.where(nmask, c_n, sval)
-    s = jnp.where(in_s, sval, s)
+        # substitution scores for lanes [st0, st0+16*ceil(span/16))
+        span16 = (en0 - st0) // 16 * 16 + 16
+        in_s = (lanes >= st0) & (lanes < st0 + span16) & live
+        qi_ok = (lanes <= r) & ((r - lanes) < qlen)
+        qv = jnp.where(qi_ok, qv_diag, 0)
+        nmask = (sf == 4) | (qv == 4)
+        sval = jnp.where(sf == qv, c_mch, c_mis)
+        sval = jnp.where(nmask, c_n, sval)
+        s = jnp.where(in_s, sval, s)
 
-    in_al = (lanes >= st) & (lanes <= en) & live
-    x_prev = pltpu.roll(x, 1, axis=1)
-    v_prev = pltpu.roll(v, 1, axis=1)
-    x2_prev = pltpu.roll(x2, 1, axis=1)
-    at_st = lanes == st
-    x_prev = jnp.where(at_st, x1, x_prev)
-    v_prev = jnp.where(at_st, v1, v_prev)
-    x2_prev = jnp.where(at_st, x21, x2_prev)
+        in_al = (lanes >= st) & (lanes <= en) & live
+        x_prev = pltpu.roll(x, 1, axis=1)
+        v_prev = pltpu.roll(v, 1, axis=1)
+        x2_prev = pltpu.roll(x2, 1, axis=1)
+        at_st = lanes == st
+        x_prev = jnp.where(at_st, x1, x_prev)
+        v_prev = jnp.where(at_st, v1, v_prev)
+        x2_prev = jnp.where(at_st, x21, x2_prev)
 
-    zv = s
-    a_ = x_prev + v_prev
-    b_ = y + u
-    a2_ = x2_prev + v_prev
-    b2_ = y2 + u
-    d = jnp.where(a_ > zv, i1, i0)
-    zv = jnp.maximum(zv, a_)
-    d = jnp.where(b_ > zv, i2, d)
-    zv = jnp.maximum(zv, b_)
-    d = jnp.where(a2_ > zv, i3, d)
-    zv = jnp.maximum(zv, a2_)
-    d = jnp.where(b2_ > zv, i4, d)
-    zv = jnp.maximum(zv, b2_)
-    zv = jnp.minimum(zv, c_mch)
+        zv = s
+        a_ = x_prev + v_prev
+        b_ = y + u
+        a2_ = x2_prev + v_prev
+        b2_ = y2 + u
+        d = jnp.where(a_ > zv, i1, i0)
+        zv = jnp.maximum(zv, a_)
+        d = jnp.where(b_ > zv, i2, d)
+        zv = jnp.maximum(zv, b_)
+        d = jnp.where(a2_ > zv, i3, d)
+        zv = jnp.maximum(zv, a2_)
+        d = jnp.where(b2_ > zv, i4, d)
+        zv = jnp.maximum(zv, b2_)
+        zv = jnp.minimum(zv, c_mch)
 
-    u_new = zv - v_prev
-    v_new = zv - u
-    a_p = a_ - (zv - q)
-    b_p = b_ - (zv - q)
-    a2_p = a2_ - (zv - q2)
-    b2_p = b2_ - (zv - q2)
-    d = d | jnp.where(a_p > 0, b08, i0)
-    d = d | jnp.where(b_p > 0, b10, i0)
-    d = d | jnp.where(a2_p > 0, b20, i0)
-    d = d | jnp.where(b2_p > 0, b40, i0)
+        u_new = zv - v_prev
+        v_new = zv - u
+        a_p = a_ - (zv - q)
+        b_p = b_ - (zv - q)
+        a2_p = a2_ - (zv - q2)
+        b2_p = b2_ - (zv - q2)
+        d = d | jnp.where(a_p > 0, b08, i0)
+        d = d | jnp.where(b_p > 0, b10, i0)
+        d = d | jnp.where(a2_p > 0, b20, i0)
+        d = d | jnp.where(b2_p > 0, b40, i0)
 
-    u2 = jnp.where(in_al, u_new, u)
-    v2 = jnp.where(in_al, v_new, v)
-    u_s[:, :] = u2
-    v_s[:, :] = v2
-    x_s[:, :] = jnp.where(in_al, jnp.maximum(a_p, 0) - (q + e), x)
-    y_s[:, :] = jnp.where(in_al, jnp.maximum(b_p, 0) - (q + e), y)
-    x2_s[:, :] = jnp.where(in_al, jnp.maximum(a2_p, 0) - (q2 + e2), x2)
-    y2_s[:, :] = jnp.where(in_al, jnp.maximum(b2_p, 0) - (q2 + e2), y2)
+        u2 = jnp.where(in_al, u_new, u)
+        v2 = jnp.where(in_al, v_new, v)
+        x = jnp.where(in_al, jnp.maximum(a_p, 0) - (q + e), x)
+        y = jnp.where(in_al, jnp.maximum(b_p, 0) - (q + e), y)
+        x2 = jnp.where(in_al, jnp.maximum(a2_p, 0) - (q2 + e2), x2)
+        y2 = jnp.where(in_al, jnp.maximum(b2_p, 0) - (q2 + e2), y2)
+        u, v = u2, v2
+        d_out = jnp.where(in_al, d, i0)
+        dirs_ref[uu, :, :] = d_out.astype(jnp.uint8)
+
+        # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
+        lt_in = (lt >= st0) & (lt <= en0)
+        lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
+        v_lt = _row_gather(v2, lt)
+        u_lt1 = _row_gather(u2, lt + 1)
+        both = lt_in & lt1_in
+        d0gt = v_lt > u_lt1
+        H0_new = jnp.where(
+            both,
+            jnp.where(d0gt, H0 + v_lt, H0 + u_lt1),
+            jnp.where(lt_in, H0 + v_lt, H0 + u_lt1),
+        )
+        lt_new = jnp.where(
+            both, jnp.where(d0gt, lt, lt + 1), jnp.where(lt_in, lt, lt + 1)
+        )
+        first = r == 0
+        H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
+        lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
+
+        hit_end = live & (r == qlen + tlen - 2) & (en0 == tlen - 1)
+        score = jnp.where(hit_end, H0, score)
+        last_st = jnp.where(live, st, last_st)
+        last_en = jnp.where(live, en, last_en)
+
+    u_s[:, :] = u
+    v_s[:, :] = v
+    x_s[:, :] = x
+    y_s[:, :] = y
+    x2_s[:, :] = x2
+    y2_s[:, :] = y2
     s_s[:, :] = s
-    d_out = jnp.where(in_al, d, i0)
-    dirs_ref[0, :, :] = d_out.astype(jnp.uint8)
-
-    # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
-    lt_in = (lt >= st0) & (lt <= en0)
-    lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
-    v_lt = _row_gather(v2, lt)
-    u_lt1 = _row_gather(u2, lt + 1)
-    both = lt_in & lt1_in
-    d0gt = v_lt > u_lt1
-    H0_new = jnp.where(
-        both,
-        jnp.where(d0gt, H0 + v_lt, H0 + u_lt1),
-        jnp.where(lt_in, H0 + v_lt, H0 + u_lt1),
-    )
-    lt_new = jnp.where(both, jnp.where(d0gt, lt, lt + 1), jnp.where(lt_in, lt, lt + 1))
-    first = r == 0
-    H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
-    lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
-
-    hit_end = live & (r == qlen + tlen - 2) & (en0 == tlen - 1)
-    score = jnp.where(hit_end, H0, score)
-    last_st = jnp.where(live, st, last_st)
-    last_en = jnp.where(live, en, last_en)
-
+    qv_s[:, :] = qv_diag
     cols = jax.lax.broadcasted_iota(i32, (NB, 128), 1)
     sc = sc_s[:, :]
     sc = jnp.where(cols == _H0, H0, sc)
@@ -233,7 +245,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     sc = jnp.where(cols == _SCORE, score, sc)
     sc_s[:, :] = sc
 
-    @pl.when(r == R - 1)
+    @pl.when(g == G - 1)
     def _fin():
         score_ref[:, :] = jnp.broadcast_to(score, (NB, 128))
 
@@ -260,6 +272,10 @@ def extd2_batch_pallas(
     T = _round_up(Lt, 128)
     TQ = _round_up(Lmax, 128)
     R = _round_up(Lmax + Lt - 1, 8)
+    # candidates per grid program: as many as a ~3.5 MB VMEM state budget
+    # allows (8 int32 state arrays + unrolled dirs blocks + double-buffered
+    # inputs must fit 16 MB) — larger NB amortizes per-grid-step overhead
+    NB = max(16, min(128, (7 << 19) // (32 * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
 
     a, b, q, e, q2, e2 = params
@@ -281,19 +297,21 @@ def extd2_batch_pallas(
     meta = meta.at[:N, 1].set(band.astype(jnp.int32))
     meta = meta.at[:N, 2].set(tl.astype(jnp.int32))
 
-    grid = (Npad // NB, R)
+    U = 4  # wavefronts per grid step: amortizes per-step loop overhead
+    R = _round_up(R, U * 8)
+    grid = (Npad // NB, R // U)
     with jax.enable_x64(False):  # index-map literals must trace as i32
         score, dirs = pl.pallas_call(
             partial(_dp_kernel, T=T, TQ=TQ, scoring=scoring),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((NB, 128), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NB, TQ), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NB, T), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, 128), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, TQ), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, T), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((NB, 128), lambda i, r: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NB, T), lambda i, r: (r, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, 128), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((U, NB, T), lambda i, g: (g, i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((Npad, 128), jnp.int32),

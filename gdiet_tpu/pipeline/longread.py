@@ -37,7 +37,7 @@ F32 = np.float32
 U32 = 0xFFFFFFFF
 
 # (Lq, Lt) DP buckets; segments beyond the largest bucket -> oracle fallback
-DP_BUCKETS = [(512, 1024), (2048, 3072), (8192, 9216)]
+DP_BUCKETS = [(512, 1024), (2048, 3072), (4096, 5120), (8192, 9216), (16384, 17408), (32768, 34048)]
 
 
 class LongReadMapper:
