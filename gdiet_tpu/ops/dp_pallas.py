@@ -31,6 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0x40000000
+DP_UNROLL = 4  # wavefronts per grid step (shared with the backtrack)
+
+
+def window_geometry(band_budget: int, T: int):
+    """Static banded-window width for a given max bandwidth; None when the
+    window would not be smaller than the full lane range."""
+    WB = _round_up(band_budget + 320 + DP_UNROLL, 128)
+    return WB if WB < T else None
 
 # columns of the per-row scalar scratch (sc_s[NB, 128])
 _H0, _LT, _LST, _LEN, _SCORE = 0, 1, 2, 3, 4
@@ -40,31 +48,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _row_gather(arr, idx):
-    """arr[row, idx[row]] for clipped per-row indices, via masked reduction."""
+def _row_gather(arr, idx, base=0):
+    """arr[row, idx[row] - base] for per-row indices clipped into the array,
+    via masked reduction. ``base`` is the absolute lane id of column 0."""
     T = arr.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
-    idx_c = jnp.clip(idx, 0, T - 1)
+    lanes = base + jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    idx_c = jnp.clip(idx, base, base + T - 1)
     return jnp.sum(
         jnp.where(lanes == idx_c, arr, 0), axis=1, keepdims=True, dtype=arr.dtype
     )
 
 
 def _dp_kernel(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
-               u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s, *, T, TQ,
-               scoring):
+               u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, sc_s, *, T, TQ,
+               scoring, WB=None, w_max=0):
     # Mosaic has no 64-bit ints; under x64 python literals in clip/where///
     # trace to i64 scalars whose i64->i32 converts fail to lower. All kernel
     # inputs are 32-bit, so tracing with x64 off keeps everything i32.
     with jax.enable_x64(False):
         _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
-                        u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
-                        T=T, TQ=TQ, scoring=scoring)
+                        u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, sc_s,
+                        T=T, TQ=TQ, scoring=scoring, WB=WB, w_max=w_max)
 
 
 def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
-                    u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, qv_s, sc_s,
-                    *, T, TQ, scoring):
+                    u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, sc_s,
+                    *, T, TQ, scoring, WB=None, w_max=0):
     a, b, q, e, q2, e2, long_thres, long_diff = scoring
     NB = meta_ref.shape[0]
     U = dirs_ref.shape[0]  # wavefronts per grid step (unroll factor)
@@ -95,7 +104,6 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         x2_s[:, :] = jnp.full((NB, T), qe2_init, i32)
         y2_s[:, :] = jnp.full((NB, T), qe2_init, i32)
         s_s[:, :] = jnp.zeros((NB, T), i32)
-        qv_s[:, :] = jnp.zeros((NB, T), i32)
         cols = jax.lax.broadcasted_iota(i32, (NB, 128), 1)
         sc = jnp.where((cols == _LST) | (cols == _LEN), jnp.int32(-1), jnp.int32(0))
         sc = jnp.where(cols == _SCORE, jnp.int32(NEG_INF), sc)
@@ -104,15 +112,29 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     qlen = meta_ref[:, 0:1]  # [NB, 1]
     wband = meta_ref[:, 1:2]
     tlen = meta_ref[:, 2:3]
-    lanes = jax.lax.broadcasted_iota(i32, (NB, T), 1)
-    sf = t_ref[:, :]
-    qpad = q_ref[:, :]
 
-    u, v = u_s[:, :], v_s[:, :]
-    x, y = x_s[:, :], y_s[:, :]
-    x2, y2 = x2_s[:, :], y2_s[:, :]
-    s = s_s[:, :]
-    qv_diag = qv_s[:, :]
+    # banded window: every live row's 16-aligned band at wavefronts
+    # [r0, r0+U) lies within [(r0-w_max+1)>>1 - 16, (r0+U-1+w_max)>>1 + 31],
+    # a data-independent range of width < WB; compute (and the dirs stream)
+    # touch only that 128-aligned window
+    windowed = WB is not None and WB < T
+    if windowed:
+        lo_raw = ((r0 - jnp.int32(w_max) + 1) >> 1) - 16
+        lo_al = jnp.clip(lo_raw, 0, T - WB) // 128 * 128
+        lo_al = pl.multiple_of(lo_al, 128)
+        W_ = WB
+        win = lambda ref: ref[:, pl.ds(lo_al, WB)]
+    else:
+        lo_al = 0
+        W_ = T
+        win = lambda ref: ref[:, :]
+    lanes = lo_al + jax.lax.broadcasted_iota(i32, (NB, W_), 1)
+    sf = win(t_ref)
+
+    u, v = win(u_s), win(v_s)
+    x, y = win(x_s), win(y_s)
+    x2, y2 = win(x2_s), win(y2_s)
+    s = win(s_s)
     H0 = sc_s[:, _H0:_H0 + 1]
     lt = sc_s[:, _LT:_LT + 1]
     last_st = sc_s[:, _LST:_LST + 1]
@@ -121,11 +143,15 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
     for uu in range(U):
         r = r0 + uu
-        # advance the anti-diagonal query vector: qv_diag[t] = query[r-t]
-        qv_diag = jnp.where(
-            lanes == 0, _row_gather(qpad, jnp.full((NB, 1), r, i32)),
-            pltpu.roll(qv_diag, 1, axis=1),
-        )
+        # the anti-diagonal query vector qv[j] = query[r - lo_al - j] is a
+        # reversed read: qrev_ext[o + j] with o = T + TQ - 1 - r + lo_al.
+        # Mosaic dynamic slices must be 128-aligned, so load the aligned
+        # superset and rotate by the remainder (dynamic roll).
+        o = jnp.int32(T + TQ - 1) - r + lo_al
+        ao = pl.multiple_of(o // 128 * 128, 128)
+        rem = o - ao
+        sl = q_ref[:, pl.ds(ao, W_ + 128)]
+        qv_win = pltpu.roll(sl, (W_ + 128) - rem, axis=1)[:, :W_]
 
         st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wband + 1) >> 1)
         en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wband) >> 1)
@@ -135,13 +161,13 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
         # boundary values (ksw2_extd2_sse.c:149-163)
         prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
-        x1 = jnp.where(prev_ok, _row_gather(x, st - 1), qe_init)
-        x21 = jnp.where(prev_ok, _row_gather(x2, st - 1), qe2_init)
+        x1 = jnp.where(prev_ok, _row_gather(x, st - 1, lo_al), qe_init)
+        x21 = jnp.where(prev_ok, _row_gather(x2, st - 1, lo_al), qe2_init)
         bu = jnp.where(
             r == 0, qe_init,
             jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
         )
-        v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1), qe_init), bu)
+        v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1, lo_al), qe_init), bu)
 
         # edge-lane init at t == r
         at_edge = (lanes == r) & (en >= r) & live
@@ -153,7 +179,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         span16 = (en0 - st0) // 16 * 16 + 16
         in_s = (lanes >= st0) & (lanes < st0 + span16) & live
         qi_ok = (lanes <= r) & ((r - lanes) < qlen)
-        qv = jnp.where(qi_ok, qv_diag, 0)
+        qv = jnp.where(qi_ok, qv_win, 0)
         nmask = (sf == 4) | (qv == 4)
         sval = jnp.where(sf == qv, c_mch, c_mis)
         sval = jnp.where(nmask, c_n, sval)
@@ -207,8 +233,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
         lt_in = (lt >= st0) & (lt <= en0)
         lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
-        v_lt = _row_gather(v2, lt)
-        u_lt1 = _row_gather(u2, lt + 1)
+        v_lt = _row_gather(v2, lt, lo_al)
+        u_lt1 = _row_gather(u2, lt + 1, lo_al)
         both = lt_in & lt1_in
         d0gt = v_lt > u_lt1
         H0_new = jnp.where(
@@ -220,7 +246,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
             both, jnp.where(d0gt, lt, lt + 1), jnp.where(lt_in, lt, lt + 1)
         )
         first = r == 0
-        H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
+        H0 = jnp.where(live, jnp.where(first, _row_gather(v2, jnp.zeros((NB, 1), i32), lo_al) - (q + e), H0_new), H0)
         lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
 
         hit_end = live & (r == qlen + tlen - 2) & (en0 == tlen - 1)
@@ -228,14 +254,22 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         last_st = jnp.where(live, st, last_st)
         last_en = jnp.where(live, en, last_en)
 
-    u_s[:, :] = u
-    v_s[:, :] = v
-    x_s[:, :] = x
-    y_s[:, :] = y
-    x2_s[:, :] = x2
-    y2_s[:, :] = y2
-    s_s[:, :] = s
-    qv_s[:, :] = qv_diag
+    if windowed:
+        u_s[:, pl.ds(lo_al, WB)] = u
+        v_s[:, pl.ds(lo_al, WB)] = v
+        x_s[:, pl.ds(lo_al, WB)] = x
+        y_s[:, pl.ds(lo_al, WB)] = y
+        x2_s[:, pl.ds(lo_al, WB)] = x2
+        y2_s[:, pl.ds(lo_al, WB)] = y2
+        s_s[:, pl.ds(lo_al, WB)] = s
+    else:
+        u_s[:, :] = u
+        v_s[:, :] = v
+        x_s[:, :] = x
+        y_s[:, :] = y
+        x2_s[:, :] = x2
+        y2_s[:, :] = y2
+        s_s[:, :] = s
     cols = jax.lax.broadcasted_iota(i32, (NB, 128), 1)
     sc = sc_s[:, :]
     sc = jnp.where(cols == _H0, H0, sc)
@@ -250,7 +284,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         score_ref[:, :] = jnp.broadcast_to(score, (NB, 128))
 
 
-@partial(jax.jit, static_argnames=("params", "Lmax", "Lt", "interpret"))
+@partial(jax.jit, static_argnames=("params", "Lmax", "Lt", "band_budget",
+                                   "interpret"))
 def extd2_batch_pallas(
     query: jnp.ndarray,  # [N, Lmax] uint8 codes
     target: jnp.ndarray,  # [N, Lt|Lmax] uint8 codes
@@ -260,11 +295,16 @@ def extd2_batch_pallas(
     Lmax: int,
     tlens: jnp.ndarray | None = None,  # [N] int32 target lengths
     Lt: int | None = None,  # static target budget (defaults to Lmax)
+    band_budget: int | None = None,  # static max bandwidth: enables the
+    # banded lane window (compute + dirs IO shrink from T to ~band lanes)
     interpret: bool = False,
 ):
-    """Returns (score [N], dirs [N, R, T] u8, offs [N, R], off_ends [N, R]).
+    """Returns (score [N], dirs [N, R, Wd] u8, offs [N, R], off_ends [N, R])
+    with Wd = the banded window width when band_budget is set, else T.
 
-    R = Lmax+Lt-1 rounded up to 8, T = Lt rounded up to 128.
+    R = Lmax+Lt-1 rounded up to the unroll granularity; T = Lt rounded up
+    to 128. Windowed dirs columns are lane (i - window_base(r)) — the
+    device backtrack recomputes the base in closed form.
     """
     N = query.shape[0]
     if Lt is None:
@@ -277,6 +317,8 @@ def extd2_batch_pallas(
     # inputs must fit 16 MB) — larger NB amortizes per-grid-step overhead
     NB = max(16, min(128, (7 << 19) // (32 * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
+    WB = window_geometry(band_budget, T) if band_budget is not None else None
+    Wd = WB if WB is not None else T
 
     a, b, q, e, q2, e2 = params
     if q2 + e2 < q + e:  # ksw2_extd2_sse.c:78
@@ -287,7 +329,12 @@ def extd2_batch_pallas(
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     scoring = (a, b, q, e, q2, e2, long_thres, long_diff)
 
-    qpad = jnp.zeros((Npad, TQ), jnp.int32).at[:N, :Lmax].set(query.astype(jnp.int32))
+    # reversed query in an extended buffer: qrev_ext[T + v] = query[TQ-1-v]
+    XB = _round_up(T + TQ + (WB if WB is not None else T) + 256, 128)
+    qpad = jnp.zeros((Npad, XB), jnp.int32)
+    qpad = qpad.at[:N, T + TQ - Lmax : T + TQ].set(
+        jnp.flip(query.astype(jnp.int32), axis=1)
+    )
     tpad = jnp.zeros((Npad, T), jnp.int32).at[:N, : target.shape[1]].set(
         target.astype(jnp.int32)
     )
@@ -297,25 +344,26 @@ def extd2_batch_pallas(
     meta = meta.at[:N, 1].set(band.astype(jnp.int32))
     meta = meta.at[:N, 2].set(tl.astype(jnp.int32))
 
-    U = 4  # wavefronts per grid step: amortizes per-step loop overhead
+    U = DP_UNROLL  # wavefronts per grid step: amortizes per-step overhead
     R = _round_up(R, U * 8)
     grid = (Npad // NB, R // U)
     with jax.enable_x64(False):  # index-map literals must trace as i32
         score, dirs = pl.pallas_call(
-            partial(_dp_kernel, T=T, TQ=TQ, scoring=scoring),
+            partial(_dp_kernel, T=T, TQ=TQ, scoring=scoring, WB=WB,
+                    w_max=band_budget or 0),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((NB, 128), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NB, TQ), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, XB), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NB, T), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((NB, 128), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((U, NB, T), lambda i, g: (g, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((U, NB, Wd), lambda i, g: (g, i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((Npad, 128), jnp.int32),
-                jax.ShapeDtypeStruct((R, Npad, T), jnp.uint8),
+                jax.ShapeDtypeStruct((R, Npad, Wd), jnp.uint8),
             ],
             scratch_shapes=[
                 pltpu.VMEM((NB, T), jnp.int32),  # u
@@ -325,7 +373,6 @@ def extd2_batch_pallas(
                 pltpu.VMEM((NB, T), jnp.int32),  # x2
                 pltpu.VMEM((NB, T), jnp.int32),  # y2
                 pltpu.VMEM((NB, T), jnp.int32),  # s
-                pltpu.VMEM((NB, T), jnp.int32),  # qv_diag
                 pltpu.VMEM((NB, 128), jnp.int32),  # per-row scalars
             ],
             interpret=interpret,

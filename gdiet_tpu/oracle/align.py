@@ -490,14 +490,32 @@ def update_extra(
             ambi = (qs_ > 3) | (ts_ > 3)
             n_ambi = int(ambi.sum())
             n_diff = int(((qs_ != ts_) & ~ambi).sum())
-            # running local-max rescoring (align.c:273-284)
+            # running local-max rescoring (align.c:273-284), vectorized.
+            # Bit-exactness: prepending s to the cumsum replicates the
+            # loop's sequential float adds until the first clamp-to-0; after
+            # a clamp all values are small integers (a / -|b| sums), where
+            # the clamped-walk closed form s_k = P_k - min(0, min_{j<=k} P_j)
+            # is exact.
             contrib = np.where(ambi, 0, np.where(qs_ == ts_, a, -abs(b))).astype(np.float64)
-            for c in contrib:
-                s += c
-                if s < 0:
-                    s = 0.0
+            if length:
+                pref = np.cumsum(np.concatenate(([s], contrib)))[1:]
+                neg = np.flatnonzero(pref < 0)
+                if neg.size == 0:
+                    mx = max(mx, float(pref.max()))
+                    s = float(pref[-1])
                 else:
-                    mx = max(mx, s)
+                    r_ = int(neg[0])
+                    if r_ > 0:
+                        mx = max(mx, float(pref[:r_].max()))
+                    rest = contrib[r_ + 1:]
+                    if rest.size == 0:
+                        s = 0.0
+                    else:
+                        p2 = np.cumsum(rest)
+                        floor = np.minimum.accumulate(np.minimum(p2, 0.0))
+                        vals = p2 - floor
+                        mx = max(mx, float(vals.max()))
+                        s = float(vals[-1])
             r.blen += length - n_ambi
             r.mlen += length - (n_ambi + n_diff)
             r.n_ambi += n_ambi

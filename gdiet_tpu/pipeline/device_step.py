@@ -292,17 +292,24 @@ def _to_i32_dev(v):
     return jnp.where(v >= jnp.int64(1 << 31), v - jnp.int64(1 << 32), v)
 
 
-def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None):
+def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None,
+                      band_budget=None):
     """Device ksw_backtrack (ksw2.h:131-163): walk the direction bytes from
     the terminal corner, emitting one op per step into a [SMAX, N] tensor.
 
     The band geometry (offs/off_ends) is recomputed in closed form per step.
+    When the DP ran with a banded lane window (band_budget set), dirs columns
+    are window-relative and the window base is recomputed the same way.
     Returns (ops [N, SMAX] u8 with 255 padding, fin_i [N], fin_j [N]) — the
     leading-gap leftovers fin_i/fin_j are resolved by the host run-length
     encoder (ops/dp.py::cigars_from_ops).
     """
+    from gdiet_tpu.ops.dp_pallas import DP_UNROLL, _round_up, window_geometry
+
     N = dirs.shape[0]
-    R, T = dirs.shape[1], dirs.shape[2]
+    R, Wd = dirs.shape[1], dirs.shape[2]
+    T = _round_up(Lt if Lt is not None else Lmax, 128)
+    WB = window_geometry(band_budget, T) if band_budget is not None else None
     SMAX = Lmax + (Lt if Lt is not None else Lmax)
     i32 = jnp.int32
     lens = dp_lens.astype(i32)
@@ -324,9 +331,16 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None):
         force = jnp.full((N,), -1, i32)
         force = jnp.where(i < off_r, 2, force)
         force = jnp.where(i > off_end_r, 1, force)
+        if WB is not None:
+            r0 = rc // DP_UNROLL * DP_UNROLL
+            lo_raw = ((r0 - jnp.int32(band_budget) + 1) >> 1) - 16
+            lo_al = jnp.clip(lo_raw, 0, T - WB) // 128 * 128
+            col = jnp.clip(i - lo_al, 0, Wd - 1)
+        else:
+            col = jnp.clip(i, 0, Wd - 1)
         # 3-component gather: each index stays well under 32 bits even for
         # long-read buckets where a flattened N*R*T index would overflow
-        tmp = dirs[n_idx, rc, jnp.clip(i, 0, T - 1)].astype(i32)
+        tmp = dirs[n_idx, rc, col].astype(i32)
         tmp = jnp.where(force >= 0, 0, tmp)
         state = jnp.where(
             state == 0, tmp & 7,
@@ -705,6 +719,7 @@ def fused_map_step(
         score, dirs, offs, off_ends = extd2_batch_pallas(
             qbuf.reshape(N, cfg.Lmax), tbuf.reshape(N, cfg.Lmax),
             dp_lens.reshape(N), bandN, cfg.params, cfg.Lmax,
+            band_budget=cfg.bw_max,
         )
     else:
         params = jnp.asarray(np.array(cfg.params, np.int32))
@@ -719,7 +734,8 @@ def fused_map_step(
         # walk the direction bytes on device: the ops tensor going to the
         # host is ~100x smaller than dirs (which never leaves HBM)
         ops, fin_i, fin_j = _backtrack_device(
-            dirs, dp_lens.reshape(N), bandN, cfg.Lmax
+            dirs, dp_lens.reshape(N), bandN, cfg.Lmax,
+            band_budget=cfg.bw_max if cfg.dp_impl == "pallas" else None,
         )
     else:
         ops = jnp.full((N, 2 * cfg.Lmax), 255, jnp.uint8)

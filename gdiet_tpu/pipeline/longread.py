@@ -306,13 +306,22 @@ class LongReadMapper:
         from gdiet_tpu import native
         from gdiet_tpu.pipeline.device_step import unpack_ops
 
+        from gdiet_tpu.ops.dp_pallas import window_geometry
+
+        # phase 1: enqueue every chunk (async dispatch) so the device works
+        # ahead while the host post-processes earlier chunks
+        pending = []
         for bi, members in buckets.items():
             if not members:
                 continue
             lq, lt = DP_BUCKETS[bi]
-            # bound the dirs tensor (R x N x T bytes) to ~1 GB per call
+            # bound the dirs tensor (R x N x Wd bytes) to ~1 GB per call,
+            # where Wd is the banded lane-window width, not the full target
+            T_pad = (lt + 127) // 128 * 128
+            WB = window_geometry(int(mo.bw), T_pad)
+            Wd = WB if (WB is not None and WB < T_pad) else T_pad
             R = lq + lt
-            chunk = max(16, (1 << 30) // max(R * lt, 1) // 16 * 16)
+            chunk = max(16, (1 << 30) // max(R * Wd, 1) // 16 * 16)
             run = self._bucket_fn(lq, lt)
             for c0 in range(0, len(members), chunk):
                 sub = members[c0 : c0 + chunk]
@@ -328,23 +337,28 @@ class LongReadMapper:
                     qlens[j] = len(qwin)
                     tlens[j] = len(twin)
                 band = np.full(N, mo.bw, np.int32)
-                packed = np.asarray(run(
+                dev = run(
                     jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens),
                     jnp.asarray(tlens), jnp.asarray(band),
-                ))
-                score = packed[:, :4].copy().view(np.int32)[:, 0]
-                fin_i = packed[:, 4:8].copy().view(np.int32)[:, 0]
-                fin_j = packed[:, 8:12].copy().view(np.int32)[:, 0]
-                op_rows = unpack_ops(packed[:, 12:])
-                cigs = None
-                if native.lib is not None:
-                    cigs = native.rle_ops(op_rows, fin_i, fin_j, qlens,
-                                          max_runs=1024)
-                if cigs is None:
-                    cigs = dpk.cigars_from_ops(op_rows, fin_i, fin_j, qlens)
-                for j, n in enumerate(sub):
-                    sc = int(score[j])
-                    ezs[n] = (sc, cigs[j] if sc != oal.NEG_INF else [])
+                )
+                pending.append((sub, qlens, dev))
+
+        # phase 2: fetch + host RLE in dispatch order
+        for sub, qlens, dev in pending:
+            packed = np.asarray(dev)
+            score = packed[:, :4].copy().view(np.int32)[:, 0]
+            fin_i = packed[:, 4:8].copy().view(np.int32)[:, 0]
+            fin_j = packed[:, 8:12].copy().view(np.int32)[:, 0]
+            op_rows = unpack_ops(packed[:, 12:])
+            cigs = None
+            if native.lib is not None:
+                cigs = native.rle_ops(op_rows, fin_i, fin_j, qlens,
+                                      max_runs=1024)
+            if cigs is None:
+                cigs = dpk.cigars_from_ops(op_rows, fin_i, fin_j, qlens)
+            for j, n in enumerate(sub):
+                sc = int(score[j])
+                ezs[n] = (sc, cigs[j] if sc != oal.NEG_INF else [])
         return ezs
 
     def _bucket_fn(self, lq: int, lt: int):
@@ -357,13 +371,16 @@ class LongReadMapper:
         from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
         from gdiet_tpu.pipeline.device_step import pack_ops
 
+        bb = int(self.mo.bw)
+
         @jax.jit
         def run(Q, T, qlens, tlens, band):
             score, dirs, offs, offe = extd2_batch_pallas(
                 Q, T, qlens, band, params, lq, tlens=tlens, Lt=lt,
+                band_budget=bb,
             )
             ops, fin_i, fin_j = ds._backtrack_device(
-                dirs, qlens, band, lq, tlens=tlens, Lt=lt,
+                dirs, qlens, band, lq, tlens=tlens, Lt=lt, band_budget=bb,
             )
             N = Q.shape[0]
             b = lambda x: jax.lax.bitcast_convert_type(

@@ -104,3 +104,52 @@ def test_pallas_general_lengths():
         assert ez.score == int(s_x[i]), f"case {i}"
         if ez.score != oal.NEG_INF:
             assert ez.cigar == cig_x[i], f"case {i}"
+
+
+def test_pallas_banded_window():
+    """Banded lane window (band_budget) matches the full-width kernel."""
+    import jax.numpy as jnp
+    from gdiet_tpu.ops.dp import cigars_from_ops
+    from gdiet_tpu.pipeline.device_step import _backtrack_device
+
+    prm = (1, 4, 6, 2, 26, 1)
+    rng = np.random.default_rng(17)
+    random.seed(17)
+    N, LQ, LT = 8, 768, 1024
+    Q = np.zeros((N, LQ), np.uint8)
+    T = np.zeros((N, LT), np.uint8)
+    qlens = np.zeros(N, np.int32)
+    tlens = np.zeros(N, np.int32)
+    for i in range(N):
+        lq = random.randrange(200, LQ)
+        lt = lq + random.randrange(0, 100)
+        q = rng.integers(0, 4, lq).astype(np.uint8)
+        t = np.concatenate([q, rng.integers(0, 4, lt - lq).astype(np.uint8)])
+        for _ in range(random.randrange(0, 12)):
+            t[random.randrange(lt)] = random.randrange(4)
+        Q[i, :lq], T[i, :lt] = q, t
+        qlens[i], tlens[i] = lq, lt
+    band = np.full(N, 100, np.int32)
+    s_w, d_w, o_w, e_w = extd2_batch_pallas(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens), jnp.asarray(band),
+        prm, LQ, tlens=jnp.asarray(tlens), Lt=LT, band_budget=100,
+        interpret=True,
+    )
+    assert d_w.shape[2] < 1024, "window must be narrower than the lane range"
+    s_x, d_x, o_x, e_x = extd2_batch(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens), jnp.asarray(band),
+        jnp.asarray(np.array(prm, np.int32)), LQ,
+        tlens=jnp.asarray(tlens), Lt=LT,
+    )
+    np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_w))
+    ops, fin_i, fin_j = _backtrack_device(
+        d_w, jnp.asarray(qlens), jnp.asarray(band), LQ,
+        tlens=jnp.asarray(tlens), Lt=LT, band_budget=100,
+    )
+    cig_w = cigars_from_ops(np.asarray(ops), np.asarray(fin_i),
+                            np.asarray(fin_j), qlens)
+    cig_x = backtrack_batch(np.asarray(d_x), np.asarray(o_x), np.asarray(e_x),
+                            qlens, tlens)
+    for i in range(N):
+        if int(s_x[i]) != -0x40000000:
+            assert cig_w[i] == cig_x[i], f"case {i}"
