@@ -495,8 +495,13 @@ def collect_hits(
             over = n >= cfg.S2
         else:
             cap = cap_vec if cfg.frac_mode else jnp.full((B,), cfg.max_seeds, I64)
-            eff = jnp.minimum(n, cap)
-            over = (n >= cfg.S2) & (cap > cfg.S2)
+            # the reference stops a shift's scan only when the push count
+            # EQUALS the cap (sketch.c, checked after each push), so a cap
+            # of 0 — e.g. the cropped shift-0 scan emitted nothing — never
+            # fires and means "no cap"
+            unlimited = cap == 0
+            eff = jnp.where(unlimited, n, jnp.minimum(n, cap))
+            over = (n >= cfg.S2) & (unlimited | (cap > cfg.S2))
         fallback = fallback | over
         _, cnts = lookup(xs >> jnp.uint64(8))
         if ref_axis is not None:

@@ -11,7 +11,7 @@ from gdiet_tpu.pipeline.longread import LongReadMapper
 from tests.test_longread_oracle import CONFIGS
 
 
-@pytest.mark.parametrize("tag", ["hifi"])
+@pytest.mark.parametrize("tag", ["hifi", "ont"])
 def test_lr_device_parity(data_dir, tag):
     cfg = dict(CONFIGS[tag])
     preset = cfg.pop("preset")
