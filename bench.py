@@ -278,13 +278,17 @@ def lr_stats(fa: pathlib.Path) -> dict:
     reads = list(read_fastx(str(fq)))
     B = 128
     mapper.map_batch(reads[:B])  # compile
+
+    def batches():
+        for s in range(0, len(reads), B):
+            batch = reads[s : s + B]
+            if len(batch) < B:
+                batch = batch + [batch[0]] * (B - len(batch))
+            yield batch
+
     t0 = time.perf_counter()
     n_done = 0
-    for s in range(0, len(reads), B):
-        batch = reads[s : s + B]
-        if len(batch) < B:
-            batch = batch + [batch[0]] * (B - len(batch))
-        mapper.map_batch(batch)
+    for _ in mapper.map_stream(batches()):
         n_done += B
     out["lr_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 1)
     return out

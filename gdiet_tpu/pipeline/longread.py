@@ -31,7 +31,9 @@ from gdiet_tpu.oracle import longread as olr
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.ops import dp as dpk
 from gdiet_tpu.pipeline import device_step as ds
-from gdiet_tpu.pipeline.lr_step import lr_front, unpack_lr_meta, vote2_packed
+from gdiet_tpu.pipeline.lr_step import (
+    lr_front, unpack_lr_meta, vote2_packed_pair,
+)
 
 F32 = np.float32
 U32 = 0xFFFFFFFF
@@ -81,7 +83,7 @@ class LongReadMapper:
             pref=jnp.asarray(pref),
         )
         self._front = jax.jit(partial(lr_front, cfg=cfg))
-        self._vote2 = jax.jit(vote2_packed)
+        self._vote2 = jax.jit(vote2_packed_pair)
         self._bucket_fns: dict = {}
 
     # ------------------------------------------------------------------
@@ -106,6 +108,22 @@ class LongReadMapper:
 
     # ------------------------------------------------------------------
     def map_batch(self, reads: list[SeqRecord]) -> list[list[oal.Reg]]:
+        return self._finish_batch(self._start_batch(reads))
+
+    def map_stream(self, batches):
+        """One-batch lookahead: the next batch's device front (sketch +
+        lookup + round-1 vote) runs while this batch's host stages finish,
+        hiding the tunnel's transfer latency."""
+        prev = None
+        for batch in batches:
+            cur = self._start_batch(batch)
+            if prev is not None:
+                yield self._finish_batch(prev)
+            prev = cur
+        if prev is not None:
+            yield self._finish_batch(prev)
+
+    def _start_batch(self, reads):
         B = len(reads)
         results: list[list[oal.Reg] | None] = [None] * B
         lens = np.array([r.l_seq for r in reads], np.int64)
@@ -115,10 +133,19 @@ class LongReadMapper:
             else (lens > self.Lmax) | (lens == 0)
         )
         device_idx = np.where(~host_only)[0]
+        front = None
+        if len(device_idx):
+            front = self._dispatch_front(
+                [reads[i] for i in device_idx], lens[device_idx]
+            )
+        return reads, results, lens, host_only, device_idx, front
+
+    def _finish_batch(self, st):
+        reads, results, lens, host_only, device_idx, front = st
         if len(device_idx):
             fb = self._map_device(
                 [reads[i] for i in device_idx], lens[device_idx], results,
-                device_idx,
+                device_idx, front=front,
             )
             for j, i in enumerate(device_idx):
                 if fb[j]:
@@ -130,13 +157,10 @@ class LongReadMapper:
             )
         return results
 
-    def map_stream(self, batches):
-        for batch in batches:
-            yield self.map_batch(batch)
-
     # ------------------------------------------------------------------
-    def _map_device(self, reads, lens_np, results, result_idx):
-        mo, mi, cfg = self.mo, self.mi, self.cfg
+    def _dispatch_front(self, reads, lens_np):
+        """Encode and enqueue the device front (async dispatch)."""
+        mo = self.mo
         B = len(reads)
         from gdiet_tpu import native
 
@@ -158,6 +182,18 @@ class LongReadMapper:
             self.arrays["maps"], self.arrays["pref"],
             jnp.asarray(cov_thr), jnp.asarray(vt_dis),
         )
+        try:  # start the D2H copy of the vote results without blocking
+            out["meta"].copy_to_host_async()
+        except AttributeError:
+            pass
+        return codes, cov_thr, vt_dis, out
+
+    def _map_device(self, reads, lens_np, results, result_idx, front=None):
+        mo, mi, cfg = self.mo, self.mi, self.cfg
+        B = len(reads)
+        if front is None:
+            front = self._dispatch_front(reads, lens_np)
+        codes, cov_thr, vt_dis, out = front
         meta = unpack_lr_meta(np.asarray(out["meta"]), cfg.K)
         fallback = meta["fallback"].copy()
         k_score = meta["k_score"]
@@ -202,31 +238,33 @@ class LongReadMapper:
             if seqs and qlen_sum - qrend > cov_thr[i]:
                 lo2[i], hi2[i] = qrend, qlen_sum
 
-        # ---- device round-2 voting (degenerate windows find nothing) ----
-        for lo, hi in ((lo1, hi1), (lo2, hi2)):
-            if not (hi > lo).any():
-                continue
-            vt2 = np.asarray(self._vote2(
+        # ---- device round-2 voting (degenerate windows find nothing):
+        # both windows in one dispatch, accepts applied in window order ----
+        if ((hi1 > lo1) | (hi2 > lo2)).any():
+            vt2p = np.asarray(self._vote2(
                 out["keys"], out["qv"], out["okv"], out["strand_stream"],
                 out["extracted"], jnp.asarray(vt_dis),
-                jnp.asarray(lo), jnp.asarray(hi),
+                jnp.asarray(lo1), jnp.asarray(hi1),
+                jnp.asarray(lo2), jnp.asarray(hi2),
             ))
             u32 = lambda x: int(x) & U32
-            for i in range(B):
-                if fallback[i] or per_read[i] is None or not per_read[i]:
-                    continue
-                if hi[i] <= lo[i]:
-                    continue
-                cand = olr.VtSeq(
-                    chrom_id=u32(vt2[i, 4]),
-                    first_target_loc=u32(vt2[i, 5]),
-                    last_target_loc=u32(vt2[i, 7]),
-                    first_query_loc=int(vt2[i, 1]),
-                    last_query_loc=int(vt2[i, 2]),
-                    str=int(vt2[i, 3]),
-                    score=int(vt2[i, 0]),
-                )
-                olr.accept_round2(cand, mo, mi.k, per_read[i])
+            for (lo, hi), vt2 in (((lo1, hi1), vt2p[:, :8]),
+                                  ((lo2, hi2), vt2p[:, 8:])):
+                for i in range(B):
+                    if fallback[i] or per_read[i] is None or not per_read[i]:
+                        continue
+                    if hi[i] <= lo[i]:
+                        continue
+                    cand = olr.VtSeq(
+                        chrom_id=u32(vt2[i, 4]),
+                        first_target_loc=u32(vt2[i, 5]),
+                        last_target_loc=u32(vt2[i, 7]),
+                        first_query_loc=int(vt2[i, 1]),
+                        last_query_loc=int(vt2[i, 2]),
+                        str=int(vt2[i, 3]),
+                        score=int(vt2[i, 0]),
+                    )
+                    olr.accept_round2(cand, mo, mi.k, per_read[i])
 
         # ---- host: concat graph + window geometry ----
         all_jobs = []  # (read i, job tuple)
@@ -325,7 +363,10 @@ class LongReadMapper:
             run = self._bucket_fn(lq, lt)
             for c0 in range(0, len(members), chunk):
                 sub = members[c0 : c0 + chunk]
-                N = len(sub)
+                # pad the batch dim to x32 so each bucket compiles for a
+                # handful of shapes instead of one per job count (padded
+                # rows have qlen 0 = dead candidates)
+                N = max(32, (len(sub) + 31) // 32 * 32)
                 Q = np.zeros((N, lq), np.uint8)
                 T = np.zeros((N, lt), np.uint8)
                 qlens = np.zeros(N, np.int32)
@@ -343,7 +384,13 @@ class LongReadMapper:
                 )
                 pending.append((sub, qlens, dev))
 
-        # phase 2: fetch + host RLE in dispatch order
+        # phase 2: fetch + host RLE in dispatch order; start every D2H copy
+        # before blocking on the first so the transfers overlap
+        for _, _, dev in pending:
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
         for sub, qlens, dev in pending:
             packed = np.asarray(dev)
             score = packed[:, :4].copy().view(np.int32)[:, 0]

@@ -300,6 +300,16 @@ def unpack_lr_meta(meta, K: int) -> dict:
     return out
 
 
+def vote2_packed_pair(keys, qv, okv, strand_stream, extracted, vt_dis,
+                      lo1, hi1, lo2, hi2):
+    """Both round-2 windows (head gap + tail gap, map.c:1680-1712) in ONE
+    dispatch; returns [B, 16] i32 (two packed vote2 blocks) so the host
+    pays a single transfer round-trip."""
+    a = vote2_packed(keys, qv, okv, strand_stream, extracted, vt_dis, lo1, hi1)
+    b = vote2_packed(keys, qv, okv, strand_stream, extracted, vt_dis, lo2, hi2)
+    return jnp.concatenate([a, b], axis=1)
+
+
 def vote2_packed(keys, qv, okv, strand_stream, extracted, vt_dis, lo, hi):
     """Round-2 scan with a single packed [B, 8] i32 result."""
     vt2 = _vote2_scan(keys, qv, okv, strand_stream, extracted, vt_dis, lo, hi)
