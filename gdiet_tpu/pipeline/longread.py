@@ -108,20 +108,31 @@ class LongReadMapper:
 
     # ------------------------------------------------------------------
     def map_batch(self, reads: list[SeqRecord]) -> list[list[oal.Reg]]:
-        return self._finish_batch(self._start_batch(reads))
+        return self._tail_batch(self._mid_batch(self._start_batch(reads)))
 
     def map_stream(self, batches):
-        """One-batch lookahead: the next batch's device front (sketch +
-        lookup + round-1 vote) runs while this batch's host stages finish,
-        hiding the tunnel's transfer latency."""
-        prev = None
+        """Two-deep pipeline over the tunnel: while this batch's host vote +
+        job prep run, the device computes the NEXT batch's front; while the
+        device runs this batch's segment DP, the host finalizes the
+        PREVIOUS batch. Stage order per iteration: start(k+1), mid(k),
+        tail(k-1)."""
+        started = None  # front dispatched
+        midded = None   # DP dispatched, awaiting fetch + finalize
         for batch in batches:
-            cur = self._start_batch(batch)
-            if prev is not None:
-                yield self._finish_batch(prev)
-            prev = cur
-        if prev is not None:
-            yield self._finish_batch(prev)
+            new = self._start_batch(batch)
+            if started is not None:
+                m = self._mid_batch(started)
+                if midded is not None:
+                    yield self._tail_batch(midded)
+                midded = m
+            started = new
+        if started is not None:
+            m = self._mid_batch(started)
+            if midded is not None:
+                yield self._tail_batch(midded)
+            midded = m
+        if midded is not None:
+            yield self._tail_batch(midded)
 
     def _start_batch(self, reads):
         B = len(reads)
@@ -140,13 +151,23 @@ class LongReadMapper:
             )
         return reads, results, lens, host_only, device_idx, front
 
-    def _finish_batch(self, st):
+    def _mid_batch(self, st):
+        """Host vote + round-2 + job prep; ends with the segment-DP chunks
+        dispatched (device computes while the caller does other work)."""
         reads, results, lens, host_only, device_idx, front = st
+        dev = None
         if len(device_idx):
-            fb = self._map_device(
+            dev = self._map_device_mid(
                 [reads[i] for i in device_idx], lens[device_idx], results,
-                device_idx, front=front,
+                device_idx, front,
             )
+        return reads, results, lens, host_only, device_idx, dev
+
+    def _tail_batch(self, st):
+        """Fetch the DP results, finalize device reads, run host fallbacks."""
+        reads, results, lens, host_only, device_idx, dev = st
+        if dev is not None:
+            fb = self._map_device_tail(dev)
             for j, i in enumerate(device_idx):
                 if fb[j]:
                     host_only[i] = True
@@ -188,11 +209,9 @@ class LongReadMapper:
             pass
         return codes, cov_thr, vt_dis, out
 
-    def _map_device(self, reads, lens_np, results, result_idx, front=None):
+    def _map_device_mid(self, reads, lens_np, results, result_idx, front):
         mo, mi, cfg = self.mo, self.mi, self.cfg
         B = len(reads)
-        if front is None:
-            front = self._dispatch_front(reads, lens_np)
         codes, cov_thr, vt_dis, out = front
         meta = unpack_lr_meta(np.asarray(out["meta"]), cfg.K)
         fallback = meta["fallback"].copy()
@@ -287,8 +306,17 @@ class LongReadMapper:
             for job in jobs:
                 all_jobs.append((i, job))
 
-        # ---- batched segment DP (bucketed) ----
-        ezs = self._align_jobs(all_jobs, lens_np, fallback)
+        # ---- batched segment DP (bucketed): dispatch only ----
+        ezs, pending = self._align_jobs_dispatch(all_jobs, lens_np, fallback)
+        return (results, result_idx, lens_np, fallback, per_read, strands,
+                all_jobs, ezs, pending)
+
+    def _map_device_tail(self, dev):
+        (results, result_idx, lens_np, fallback, per_read, strands,
+         all_jobs, ezs, pending) = dev
+        mo = self.mo
+        B = len(lens_np)
+        self._align_jobs_fetch(ezs, pending)
 
         # ---- finish per read ----
         by_read: dict[int, tuple[list, list]] = {}
@@ -308,7 +336,7 @@ class LongReadMapper:
         return fallback
 
     # ------------------------------------------------------------------
-    def _align_jobs(self, all_jobs, lens_np, fallback):
+    def _align_jobs_dispatch(self, all_jobs, lens_np, fallback):
         """Per-segment DP: exact-match short-circuit, then length-bucketed
         batched kernel calls (TPU) or the scalar oracle kernel (CPU)."""
         mo = self.mo
@@ -384,13 +412,20 @@ class LongReadMapper:
                 )
                 pending.append((sub, qlens, dev))
 
-        # phase 2: fetch + host RLE in dispatch order; start every D2H copy
-        # before blocking on the first so the transfers overlap
+        # start every D2H copy now so the transfers overlap the caller's
+        # host work and each other
         for _, _, dev in pending:
             try:
                 dev.copy_to_host_async()
             except AttributeError:
                 pass
+        return ezs, pending
+
+    def _align_jobs_fetch(self, ezs, pending):
+        """Fetch dispatched DP chunks + host RLE, in dispatch order."""
+        from gdiet_tpu import native
+        from gdiet_tpu.pipeline.device_step import unpack_ops
+
         for sub, qlens, dev in pending:
             packed = np.asarray(dev)
             score = packed[:, :4].copy().view(np.int32)[:, 0]
