@@ -22,9 +22,11 @@ import time
 from gdiet_tpu.config import (
     MM_F_2_IO_THREADS,
     MM_F_CIGAR,
+    MM_F_COPY_COMMENT,
     MM_F_EQX,
     MM_F_FOR_ONLY,
     MM_F_HEAP_SORT,
+    MM_F_LONG_CIGAR,
     MM_F_NO_PRINT_2ND,
     MM_F_OUT_CG,
     MM_F_OUT_MD,
@@ -226,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
             mo.flag |= 0x10  # MM_F_NO_QUAL
         elif name == "Y":
             mo.flag |= MM_F_SOFTCLIP
+        elif name == "L":
+            mo.flag |= MM_F_LONG_CIGAR
+        elif name == "y":
+            mo.flag |= MM_F_COPY_COMMENT
         elif name == "T":
             mo.sdust_thres = int(arg)
         elif name == "n":

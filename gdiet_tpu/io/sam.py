@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from gdiet_tpu.config import (
     CIGAR_STR,
+    MM_F_COPY_COMMENT,
+    MM_F_LONG_CIGAR,
     MM_F_OUT_CS,
     MM_F_OUT_CS_LONG,
     MM_F_OUT_MD,
@@ -179,6 +181,7 @@ def sam_record(
     n_seg: int = 1,
     mate_regs: list[Reg] | None = None,
     index=None,
+    comment: str | None = None,
 ) -> str:
     """mm_write_sam3 (format.c:412-602). For paired segments (n_seg > 1)
     pass the mate's regs to fill flags 0x1/0x40/0x80/0x8/0x20 and
@@ -218,8 +221,24 @@ def sam_record(
             fields += ["*", "0", "0", "*"]
     else:
         this_rid, this_pos = r.rid, r.rs
-        fields += [ref_names[r.rid], str(r.rs + 1), str(r.mapq),
-                   _sam_cigar(r, qlen, flag, opt_flag)]
+        # -L: BAM caps one CIGAR at 65535 ops; move it to the CG:B:I tag
+        # and leave a placeholder <seq>S<ref>N CIGAR (format.c:414,476-491)
+        cigar_in_tag = False
+        if (opt_flag & MM_F_LONG_CIGAR) and r.cigar \
+                and len(r.cigar) > 65535 - 2:
+            n_cig = len(r.cigar) + (r.qs != 0) + (r.qe != qlen)
+            cigar_in_tag = n_cig > 65535
+        if cigar_in_tag:
+            if (flag & 0x900) == 0 or (opt_flag & MM_F_SOFTCLIP):
+                slen = qlen
+            elif flag & 0x100:
+                slen = 0
+            else:
+                slen = r.qe - r.qs
+            cig_field = f"{slen}S{r.re - r.rs}N"
+        else:
+            cig_field = _sam_cigar(r, qlen, flag, opt_flag)
+        fields += [ref_names[r.rid], str(r.rs + 1), str(r.mapq), cig_field]
     if n_seg > 1:
         tlen = 0
         if this_rid >= 0 and r_next is not None:
@@ -292,8 +311,22 @@ def sam_record(
                 out += "\tcs:Z:" + gen_cs_md(
                     index, r, seq, False, not (opt_flag & MM_F_OUT_CS_LONG)
                 )
+        if cigar_in_tag:  # write_sam_cigar in_tag=1 (format.c:394-401,595)
+            clip_op = 5 if (flag & 0x800) and not (opt_flag & MM_F_SOFTCLIP) else 4
+            clip0 = qlen - r.qe if r.rev else r.qs
+            clip1 = r.qs if r.rev else qlen - r.qe
+            cg = ["\tCG:B:I"]
+            if clip0:
+                cg.append(f",{(clip0 << 4) | clip_op}")
+            for length, op in r.cigar:
+                cg.append(f",{(length << 4) | op}")
+            if clip1:
+                cg.append(f",{(clip1 << 4) | clip_op}")
+            out += "".join(cg)
     if rep_len >= 0:
         out += f"\trl:i:{rep_len}"
+    if (opt_flag & MM_F_COPY_COMMENT) and comment:  # -y (format.c:599)
+        out += f"\t{comment}"
     return out
 
 
@@ -305,12 +338,16 @@ def paf_record(
     ref_lens: list[int],
     rep_len: int = 0,
     out_cigar: bool = False,
+    opt_flag: int = 0,
+    comment: str | None = None,
 ) -> str:
     """mm_write_paf3 (format.c:326-358)."""
     if r is None:
         s = f"{name}\t{qlen}\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0"
         if rep_len >= 0:
             s += f"\trl:i:{rep_len}"
+        if (opt_flag & MM_F_COPY_COMMENT) and comment:
+            s += f"\t{comment}"
         return s
     s = (
         f"{name}\t{qlen}\t{r.qs}\t{r.qe}\t{'-' if r.rev else '+'}\t"
@@ -322,4 +359,6 @@ def paf_record(
         s += f"\trl:i:{rep_len}"
     if out_cigar and r.cigar:
         s += "\tcg:Z:" + "".join(f"{l}{CIGAR_STR[op]}" for l, op in r.cigar)
+    if (opt_flag & MM_F_COPY_COMMENT) and comment:  # -y (format.c:357)
+        s += f"\t{comment}"
     return s

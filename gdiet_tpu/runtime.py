@@ -160,15 +160,17 @@ def run_split_mapping(
                     if sam_mode:
                         out.write(samio.sam_record(
                             rec.name, rec.seq, rec.qual, r, regs, names,
-                            mo.flag, 0, j, n, mate) + "\n")
+                            mo.flag, 0, j, n, mate,
+                            comment=rec.comment) + "\n")
                     else:
                         out.write(samio.paf_record(
                             rec.name, rec.l_seq, r, names, lens, 0,
-                            bool(mo.flag & MM_F_OUT_CG)) + "\n")
+                            bool(mo.flag & MM_F_OUT_CG), mo.flag,
+                            rec.comment) + "\n")
             elif sam_mode:
                 out.write(samio.sam_record(
                     rec.name, rec.seq, rec.qual, None, [], names, mo.flag,
-                    0, j, n, mate) + "\n")
+                    0, j, n, mate, comment=rec.comment) + "\n")
             n_out += 1
         segi += n
     _log(verbose, t0, f"mapped {n_out} sequences across {len(parts)} parts")
@@ -233,13 +235,15 @@ def run_mapping(
         if sam_mode:
             out.write(samio.sam_record(
                 rec.name, rec.seq, rec.qual, r, regs or [], names, mo.flag,
-                0, seg_idx, n_seg, mate_regs, index=mi) + "\n")
+                0, seg_idx, n_seg, mate_regs, index=mi,
+                comment=rec.comment) + "\n")
         elif r is not None:
             out.write(samio.paf_record(
                 rec.name, rec.l_seq, r, names, lens, 0,
-                bool(mo.flag & MM_F_OUT_CG)) + "\n")
+                bool(mo.flag & MM_F_OUT_CG), mo.flag, rec.comment) + "\n")
         elif mo.flag & 0x200000:  # MM_F_PAF_NO_HIT
-            out.write(samio.paf_record(rec.name, rec.l_seq, None, names, lens, 0)
+            out.write(samio.paf_record(rec.name, rec.l_seq, None, names, lens,
+                                       0, False, mo.flag, rec.comment)
                       + "\n")
 
     def emit_frags(frags, results):

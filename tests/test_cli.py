@@ -42,3 +42,49 @@ def test_cli_help_and_version(capsys):
     assert main(["--version"]) == 0
     assert capsys.readouterr().out.strip()
     assert main(["-h"]) == 0
+
+
+def test_long_cigar_in_tag():
+    """-L moves >65535-op CIGARs to CG:B:I (format.c:414,476-491,595)."""
+    from gdiet_tpu.config import CIGAR_INS, CIGAR_MATCH, MM_F_LONG_CIGAR
+    from gdiet_tpu.io import sam as samio
+    from gdiet_tpu.oracle.align import Reg
+
+    cig = []
+    for _ in range(35000):
+        cig.append((1, CIGAR_MATCH))
+        cig.append((1, CIGAR_INS))
+    r = Reg(id=0, parent=0, rid=0, rs=10, re=10 + 35000, qs=2, qe=70002,
+            score=5, mapq=60)
+    r.cigar = cig
+    r.blen, r.mlen, r.n_ambi, r.sam_pri = 70000, 60000, 0, 1
+    qlen = 70010
+    seq = "A" * qlen
+    rec = samio.sam_record("q1", seq, None, r, [r], ["chr1"],
+                           MM_F_LONG_CIGAR, 0)
+    fields = rec.split("\t")
+    assert fields[5] == f"{qlen}S{35000}N"
+    assert "CG:B:I" in rec
+    vals = rec.split("CG:B:I", 1)[1].split("\t")[0].strip(",").split(",")
+    assert len(vals) == 70000 + 2  # ops + soft clips
+    assert int(vals[0]) == (2 << 4) | 4  # 2S leading clip
+    assert int(vals[-1]) == ((qlen - 70002) << 4) | 4
+    # without -L the plain CIGAR is emitted
+    rec2 = samio.sam_record("q1", seq, None, r, [r], ["chr1"], 0, 0)
+    assert "CG:B:I" not in rec2
+
+
+def test_copy_comment():
+    """-y appends the FASTA/Q header comment (format.c:357,599)."""
+    from gdiet_tpu.config import MM_F_COPY_COMMENT
+    from gdiet_tpu.io import sam as samio
+
+    rec = samio.sam_record("q1", "ACGT", None, None, [], ["chr1"],
+                           MM_F_COPY_COMMENT, 0, comment="BC:Z:ACGT")
+    assert rec.endswith("\tBC:Z:ACGT")
+    rec = samio.sam_record("q1", "ACGT", None, None, [], ["chr1"], 0, 0,
+                           comment="BC:Z:ACGT")
+    assert not rec.endswith("BC:Z:ACGT")
+    paf = samio.paf_record("q1", 4, None, ["chr1"], [100], 0, False,
+                           MM_F_COPY_COMMENT, "BC:Z:ACGT")
+    assert paf.endswith("\tBC:Z:ACGT")
