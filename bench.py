@@ -276,8 +276,7 @@ def lr_stats(fa: pathlib.Path) -> dict:
     mapper = LongReadMapper(mi, mo, max_read_len=4096, seed_budget=512,
                             shift_seed_budget=128, hit_budget=2048)
     reads = list(read_fastx(str(fq)))
-    B = 128
-    mapper.map_batch(reads[:B])  # compile
+    B = 256
 
     def batches():
         for s in range(0, len(reads), B):
@@ -286,6 +285,8 @@ def lr_stats(fa: pathlib.Path) -> dict:
                 batch = batch + [batch[0]] * (B - len(batch))
             yield batch
 
+    for _ in mapper.map_stream(batches()):  # compile every batch shape
+        pass
     t0 = time.perf_counter()
     n_done = 0
     for _ in mapper.map_stream(batches()):

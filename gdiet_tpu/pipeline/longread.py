@@ -387,14 +387,20 @@ class LongReadMapper:
             WB = window_geometry(int(mo.bw), T_pad)
             Wd = WB if (WB is not None and WB < T_pad) else T_pad
             R = lq + lt
-            chunk = max(16, (1 << 30) // max(R * Wd, 1) // 16 * 16)
+            # power-of-two chunk so padded batch dims never exceed the
+            # ~1 GB dirs budget
+            chunk = 32
+            while chunk * 2 * R * Wd <= (1 << 30):
+                chunk *= 2
             run = self._bucket_fn(lq, lt)
             for c0 in range(0, len(members), chunk):
                 sub = members[c0 : c0 + chunk]
-                # pad the batch dim to x32 so each bucket compiles for a
-                # handful of shapes instead of one per job count (padded
-                # rows have qlen 0 = dead candidates)
-                N = max(32, (len(sub) + 31) // 32 * 32)
+                # pad the batch dim to the next power of two so each bucket
+                # compiles for O(log) shapes instead of one per job count
+                # (padded rows have qlen 0 = dead candidates)
+                N = 32
+                while N < len(sub):
+                    N <<= 1
                 Q = np.zeros((N, lq), np.uint8)
                 T = np.zeros((N, lt), np.uint8)
                 qlens = np.zeros(N, np.int32)
