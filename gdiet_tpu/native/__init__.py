@@ -54,6 +54,31 @@ def _build() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.update_extra_full_batch.restype = None
+    lib.update_extra_full_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.update_extra_batch.restype = None
+    lib.update_extra_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.update_extra_scan.restype = None
+    lib.update_extra_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+    ]
     return lib
 
 
@@ -106,3 +131,109 @@ def rle_ops(
         [(int(v) >> 4, int(v) & 0xF) for v in out[r, : n_runs[r]]]
         for r in range(n)
     ]
+
+
+def update_extra_scan(qseq: np.ndarray, tseq: np.ndarray, cigar: list,
+                      a: int, b: int, q: int, e: int, log_gap: bool):
+    """mm_update_extra's rescoring scan (align.c:259-318) in C.
+
+    Returns (blen, mlen, n_ambi, dp_max, qoff, toff) or None when the
+    native library is unavailable."""
+    if lib is None:
+        return None
+    packed = np.fromiter(
+        ((l << 4) | op for l, op in cigar), np.uint32, len(cigar)
+    )
+    qv = np.ascontiguousarray(qseq, np.uint8)
+    tv = np.ascontiguousarray(tseq, np.uint8)
+    out = np.zeros(6, np.int64)
+    lib.update_extra_scan(
+        _ptr(qv, ctypes.c_uint8), _ptr(tv, ctypes.c_uint8),
+        _ptr(packed, ctypes.c_uint32), len(cigar),
+        a, b, q, e, 1 if log_gap else 0, _ptr(out, ctypes.c_int64),
+    )
+    return tuple(int(x) for x in out)
+
+
+def update_extra_batch(jobs: list, a: int, b: int, q: int, e: int,
+                       log_gap: bool):
+    """One C call for many update_extra scans. ``jobs`` is a list of
+    (qwin u8, twin u8, cigar [(len, op), ...]); returns an [n, 6] i64
+    array (blen, mlen, n_ambi, dp_max, qoff, toff) or None without the
+    native library."""
+    if lib is None or not jobs:
+        return None
+    n = len(jobs)
+    qoffs = np.zeros(n, np.int64)
+    toffs = np.zeros(n, np.int64)
+    cigoffs = np.zeros(n, np.int64)
+    cign = np.zeros(n, np.int64)
+    qt = tt = ct = 0
+    for i, (qw, tw, cig) in enumerate(jobs):
+        qoffs[i], toffs[i], cigoffs[i], cign[i] = qt, tt, ct, len(cig)
+        qt += len(qw)
+        tt += len(tw)
+        ct += len(cig)
+    qbuf = np.empty(max(qt, 1), np.uint8)
+    tbuf = np.empty(max(tt, 1), np.uint8)
+    cigbuf = np.empty(max(ct, 1), np.uint32)
+    for i, (qw, tw, cig) in enumerate(jobs):
+        qbuf[qoffs[i] : qoffs[i] + len(qw)] = qw
+        tbuf[toffs[i] : toffs[i] + len(tw)] = tw
+        o = cigoffs[i]
+        for j, (l, op) in enumerate(cig):
+            cigbuf[o + j] = (l << 4) | op
+    out = np.zeros((n, 6), np.int64)
+    lib.update_extra_batch(
+        _ptr(qbuf, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
+        _ptr(tbuf, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
+        _ptr(cigbuf, ctypes.c_uint32), _ptr(cigoffs, ctypes.c_int64),
+        _ptr(cign, ctypes.c_int64), n, a, b, q, e,
+        1 if log_gap else 0, _ptr(out, ctypes.c_int64),
+    )
+    return out
+
+
+def update_extra_full_batch(jobs: list, a: int, b: int, q: int, e: int,
+                            log_gap: bool):
+    """Fused mm_fix_cigar + rescoring scan, one C call per batch. ``jobs``
+    holds (qwin u8, twin u8, cigar) with the UNSHIFTED windows; returns
+    (out [n, 8] i64, cigars) where out rows are (blen, mlen, n_ambi,
+    dp_max, qoff, toff, lead_op, lead_len) and cigars are the fixed
+    (len, op) lists. None without the native library."""
+    if lib is None or not jobs:
+        return None
+    n = len(jobs)
+    qoffs = np.zeros(n, np.int64)
+    toffs = np.zeros(n, np.int64)
+    cigoffs = np.zeros(n, np.int64)
+    cign = np.zeros(n, np.int64)
+    qt = tt = ct = 0
+    for i, (qw, tw, cig) in enumerate(jobs):
+        qoffs[i], toffs[i], cigoffs[i], cign[i] = qt, tt, ct, len(cig)
+        qt += len(qw)
+        tt += len(tw)
+        ct += len(cig)
+    qbuf = np.empty(max(qt, 1), np.uint8)
+    tbuf = np.empty(max(tt, 1), np.uint8)
+    cigbuf = np.empty(max(ct, 1), np.uint32)
+    for i, (qw, tw, cig) in enumerate(jobs):
+        qbuf[qoffs[i] : qoffs[i] + len(qw)] = qw
+        tbuf[toffs[i] : toffs[i] + len(tw)] = tw
+        o = cigoffs[i]
+        for j, (l, op) in enumerate(cig):
+            cigbuf[o + j] = (l << 4) | op
+    out = np.zeros((n, 8), np.int64)
+    lib.update_extra_full_batch(
+        _ptr(qbuf, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
+        _ptr(tbuf, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
+        _ptr(cigbuf, ctypes.c_uint32), _ptr(cigoffs, ctypes.c_int64),
+        _ptr(cign, ctypes.c_int64), n, a, b, q, e,
+        1 if log_gap else 0, _ptr(out, ctypes.c_int64),
+    )
+    cigars = [
+        [(int(v) >> 4, int(v) & 0xF)
+         for v in cigbuf[cigoffs[i] : cigoffs[i] + cign[i]]]
+        for i in range(n)
+    ]
+    return out, cigars

@@ -471,6 +471,45 @@ def mg_log2(x: float) -> float:
     )
 
 
+def _apply_scan(r: Reg, res) -> None:
+    blen, mlen, n_ambi, dp_max, qoff, toff = (int(x) for x in res)
+    r.blen, r.mlen = blen, mlen
+    r.n_ambi += n_ambi
+    r.dp_max = dp_max
+    assert qoff == r.qe - r.qs and toff == r.re - r.rs
+
+
+def update_extra_many(
+    jobs: list, a: int, b: int, q: int, e: int, log_gap: bool = False,
+) -> None:
+    """Batched mm_update_extra (fix_cigar + rescoring scan) over
+    (Reg, qwin, twin) jobs with UNSHIFTED windows — one native call for
+    the whole batch; falls back to per-record update_extra without the C
+    library."""
+    from gdiet_tpu import native
+
+    res = native.update_extra_full_batch(
+        [(qw, tw, r.cigar) for r, qw, tw in jobs], a, b, q, e, log_gap
+    ) if native.lib is not None else None
+    if res is None:
+        for r, qw, tw in jobs:
+            update_extra(r, qw, tw, a, b, q, e, log_gap)
+        return
+    out, cigars = res
+    for (r, _, _), row, cig in zip(jobs, out, cigars):
+        r.cigar = cig
+        lead_op, lead_len = int(row[6]), int(row[7])
+        if lead_op == CIGAR_INS:  # drop leading I/D (align.c:160-171)
+            if r.rev:
+                r.qe -= lead_len
+            else:
+                r.qs += lead_len
+        elif lead_op == CIGAR_DEL:
+            r.rs += lead_len
+        r.blen = r.mlen = 0
+        _apply_scan(r, row[:6])
+
+
 def update_extra(
     r: Reg, qseq: np.ndarray, tseq: np.ndarray, a: int, b: int, q: int, e: int,
     log_gap: bool = False,
@@ -480,10 +519,28 @@ def update_extra(
     qseq = qseq[qshift:]
     tseq = tseq[tshift:]
     r.blen = r.mlen = 0
+    from gdiet_tpu import native
+
+    if native.lib is not None and r.cigar:
+        res = native.update_extra_scan(qseq, tseq, r.cigar, a, b, q, e,
+                                       log_gap)
+        if res is not None:
+            _apply_scan(r, res)
+            return
+    _apply_scan(r, _ue_scan_py(qseq, tseq, r.cigar, a, b, q, e, log_gap))
+
+
+def _ue_scan_py(
+    qseq: np.ndarray, tseq: np.ndarray, cigar: list,
+    a: int, b: int, q: int, e: int, log_gap: bool,
+):
+    """The rescoring walk (align.c:259-318) in numpy; returns
+    (blen, mlen, n_ambi, dp_max, qoff, toff)."""
     s = 0.0
     mx = 0.0
+    blen = mlen = n_ambi_tot = 0
     toff = qoff = 0
-    for length, op in r.cigar:
+    for length, op in cigar:
         if op == CIGAR_MATCH:
             qs_ = qseq[qoff : qoff + length]
             ts_ = tseq[toff : toff + length]
@@ -516,31 +573,30 @@ def update_extra(
                         vals = p2 - floor
                         mx = max(mx, float(vals.max()))
                         s = float(vals[-1])
-            r.blen += length - n_ambi
-            r.mlen += length - (n_ambi + n_diff)
-            r.n_ambi += n_ambi
+            blen += length - n_ambi
+            mlen += length - (n_ambi + n_diff)
+            n_ambi_tot += n_ambi
             toff += length
             qoff += length
         elif op == CIGAR_INS:
             n_ambi = int((qseq[qoff : qoff + length] > 3).sum())
-            r.blen += length - n_ambi
-            r.n_ambi += n_ambi
+            blen += length - n_ambi
+            n_ambi_tot += n_ambi
             s -= q + (float(e) * mg_log2(1.0 + length) if log_gap else e)
             if s < 0:
                 s = 0.0
             qoff += length
         elif op == CIGAR_DEL:
             n_ambi = int((tseq[toff : toff + length] > 3).sum())
-            r.blen += length - n_ambi
-            r.n_ambi += n_ambi
+            blen += length - n_ambi
+            n_ambi_tot += n_ambi
             s -= q + (float(e) * mg_log2(1.0 + length) if log_gap else e)
             if s < 0:
                 s = 0.0
             toff += length
         elif op == CIGAR_N_SKIP:
             toff += length
-    r.dp_max = int(mx + 0.499)
-    assert qoff == r.qe - r.qs and toff == r.re - r.rs
+    return blen, mlen, n_ambi_tot, int(mx + 0.499), qoff, toff
 
 
 def event_identity(r: Reg) -> float:

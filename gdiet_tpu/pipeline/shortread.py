@@ -176,11 +176,12 @@ class ShortReadMapper:
             cigs_by_n = dict(zip(need.tolist(), sub))
 
         regs_per_read: list[list[oal.Reg]] = [[] for _ in range(B)]
+        scan_jobs: list[tuple] = []  # (Reg, qwin, twin) awaiting rescoring
+        cand: list[tuple] = []  # (read index, Reg) in candidate order
         for i in range(B):
             if fallback[i]:
                 continue
             qlen = int(lens_np[i])
-            lst = regs_per_read[i]
             for c in range(K):
                 if not live[i, c]:
                     continue
@@ -220,16 +221,28 @@ class ShortReadMapper:
                         qwin = codes_np[i, so : eo + 1]
                     off = int(mi.seq_offsets[chrom])
                     twin = mi.codes[off + ts : off + te + 1]
-                    oal.update_extra(r, qwin, twin, mo.a, mo.b, mo.q, mo.e)
-                clip0 = qlen - r.qe if r.rev else r.qs
-                clip1 = r.qs if r.rev else qlen - r.qe
-                if not (clip0 < qlen and clip1 < qlen) or r.dp_score < mo.min_dp_max:
-                    continue
-                lst.append(r)
-                k = len(lst) - 1
-                while k > 0 and lst[k].score > lst[k - 1].score:
-                    lst[k], lst[k - 1] = lst[k - 1], lst[k]
-                    k -= 1
+                    # fix_cigar + rescoring run in ONE native call for the
+                    # whole batch after this loop; the clip filter below
+                    # needs the fixed coordinates, so candidates are only
+                    # collected here
+                    scan_jobs.append((r, qwin, twin))
+                cand.append((i, r))
+
+        if scan_jobs:
+            oal.update_extra_many(scan_jobs, mo.a, mo.b, mo.q, mo.e)
+
+        for i, r in cand:
+            qlen = int(lens_np[i])
+            clip0 = qlen - r.qe if r.rev else r.qs
+            clip1 = r.qs if r.rev else qlen - r.qe
+            if not (clip0 < qlen and clip1 < qlen) or r.dp_score < mo.min_dp_max:
+                continue
+            lst = regs_per_read[i]
+            lst.append(r)
+            k = len(lst) - 1
+            while k > 0 and lst[k].score > lst[k - 1].score:
+                lst[k], lst[k - 1] = lst[k - 1], lst[k]
+                k -= 1
 
         max_nb_sec = 0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n
         for i in range(B):
