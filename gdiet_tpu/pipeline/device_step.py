@@ -192,14 +192,38 @@ def _expand_hits(
         axis=2, dtype=jnp.int32
     ).astype(jnp.int64)
     sid_c = jnp.clip(sid, 0, S - 1)
-    prev = jnp.where(sid_c > 0, jnp.take_along_axis(cum, jnp.maximum(sid_c - 1, 0), 1), 0)
+    # row selections [B, A] <- [B, S]: per-element gathers are ~45 ms each
+    # on TPU, so select via a shared one-hot f32 matmul on the MXU instead.
+    # Each dot picks exactly ONE table entry (no accumulation), so 16-bit
+    # limbs in f32 are exact for arbitrary 48-bit values.
+    ohf = (sid_c[:, :, None]
+           == jnp.arange(S, dtype=jnp.int64)[None, None, :]).astype(jnp.float32)
+
+    def _sel16(tbl_f32):  # [B, S] f32 of values < 2^16 -> [B, A] i64
+        picked = jax.lax.dot_general(
+            ohf, tbl_f32, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return picked.astype(I64)
+
+    def _sel48(tbl):  # [B, S] i64 of values < 2^48 -> [B, A] i64
+        lo = _sel16((tbl & 0xFFFF).astype(jnp.float32))
+        mid = _sel16(((tbl >> 16) & 0xFFFF).astype(jnp.float32))
+        hi = _sel16((tbl >> 32).astype(jnp.float32))
+        return lo + (mid << 16) + (hi << 32)
+
+    prev_tbl = jnp.concatenate(
+        [jnp.zeros((B, 1), cum.dtype), cum[:, :-1]], axis=1
+    )
+    prev = _sel48(prev_tbl)
     off_in = a_idx - prev
-    pidx = jnp.take_along_axis(starts, sid_c, 1) + off_in
+    pidx = _sel48(starts) + off_in
     hit = jnp.take(positions, jnp.clip(pidx, 0, len(positions) - 1))
     ok = a_idx < total[:, None]
 
-    qp = jnp.take_along_axis(qpos, sid_c, 1)
-    qs = jnp.take_along_axis(qstrand, sid_c, 1)
+    qp = (_sel16((qpos & 0xFFFF).astype(jnp.float32))
+          + (_sel16((qpos >> 16).astype(jnp.float32)) << 16)).astype(jnp.int32)
+    qs = _sel16(qstrand.astype(jnp.float32)).astype(jnp.int32)
     strand = (hit & jnp.uint64(1)).astype(jnp.int32) ^ qs
     loc = ((hit & jnp.uint64(U32)) >> jnp.uint64(1)).astype(jnp.int64)
     chrom = (hit >> jnp.uint64(32)).astype(jnp.int64)
