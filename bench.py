@@ -142,7 +142,7 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
         mi.save(str(idx_path))
 
     reads = list(read_fastx(str(fq)))
-    B = 4096
+    B = 8192
     Lmax = 192
     mapper = ShortReadMapper(
         mi, mo, max_read_len=Lmax, seed_budget=64, shift_seed_budget=16,
