@@ -31,9 +31,7 @@ from gdiet_tpu.oracle import longread as olr
 from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.ops import dp as dpk
 from gdiet_tpu.pipeline import device_step as ds
-from gdiet_tpu.pipeline.lr_step import (
-    lr_front, unpack_lr_meta, vote2_packed_pair,
-)
+from gdiet_tpu.pipeline.lr_step import lr_front, unpack_lr_meta
 
 F32 = np.float32
 U32 = 0xFFFFFFFF
@@ -82,8 +80,10 @@ class LongReadMapper:
             maps=jnp.asarray(maps),
             pref=jnp.asarray(pref),
         )
-        self._front = jax.jit(partial(lr_front, cfg=cfg))
-        self._vote2 = jax.jit(vote2_packed_pair)
+        self._front = jax.jit(partial(
+            lr_front, cfg=cfg, k=index.k, vt_df1=float(mo.vt_df1),
+            vt_f=float(mo.vt_f), bw=int(mo.bw),
+        ))
         self._bucket_fns: dict = {}
 
     # ------------------------------------------------------------------
@@ -215,57 +215,43 @@ class LongReadMapper:
         codes, cov_thr, vt_dis, out = front
         meta = unpack_lr_meta(np.asarray(out["meta"]), cfg.K)
         fallback = meta["fallback"].copy()
+        kept_len = meta["kept_len"]
         k_score = meta["k_score"]
-        k_ft = meta["k_first_t"]
-        k_lt = meta["k_last_t"]
         k_fq = meta["k_fq"]
         k_lq = meta["k_lq"]
         k_str = meta["k_str"]
-        out_len = meta["out_len"]
+        k_chrom = meta["k_chrom"]
+        k_ft = meta["k_ft"]
+        k_lt = meta["k_lt"]
+        k_lt_adj = meta["k_lt_adj"]
+        lo1, hi1 = meta["lo1"], meta["hi1"]
+        lo2, hi2 = meta["lo2"], meta["hi2"]
+        vt2p = meta["vt2"]
 
-        # ---- host: filters + round-2 windows (oracle stage functions) ----
+        # ---- host: rebuild filtered VtSeqs (filters ran on device) ----
         per_read: list[list[olr.VtSeq] | None] = [None] * B
-        lo1 = np.zeros(B, np.int32)
-        hi1 = np.zeros(B, np.int32)
-        lo2 = np.zeros(B, np.int32)
-        hi2 = np.zeros(B, np.int32)
-        covs = np.zeros(B, np.int64)
         for i in range(B):
             if fallback[i]:
                 continue
             seqs = [
                 olr.VtSeq(
-                    chrom_id=int(k_ft[i, c]) >> 32,
-                    first_target_loc=int(k_ft[i, c]) & U32,
-                    last_target_loc=int(k_lt[i, c]) & U32,
-                    first_query_loc=int(k_fq[i, c]),
+                    chrom_id=int(k_chrom[i, c]),
+                    first_target_loc=int(k_ft[i, c]),  # signed i32
+                    last_target_loc=(
+                        int(k_lt[i, c]) if k_lt_adj[i, c]
+                        else int(k_lt[i, c]) & U32
+                    ),
+                    first_query_loc=int(k_fq[i, c]) & U32,
                     last_query_loc=int(k_lq[i, c]),
                     str=int(k_str[i, c]),
                     score=int(k_score[i, c]),
                 )
-                for c in range(int(out_len[i]))
+                for c in range(int(kept_len[i]))
             ]
-            if not seqs:
-                per_read[i] = []
-                continue
-            qlen_sum = int(lens_np[i])
-            seqs, qrstart, qrend = olr.apply_filters(seqs, mo, mi.k, qlen_sum)
             per_read[i] = seqs
-            covs[i] = cov_thr[i]
-            if seqs and qrstart > cov_thr[i]:
-                lo1[i], hi1[i] = 0, qrstart
-            if seqs and qlen_sum - qrend > cov_thr[i]:
-                lo2[i], hi2[i] = qrend, qlen_sum
 
-        # ---- device round-2 voting (degenerate windows find nothing):
-        # both windows in one dispatch, accepts applied in window order ----
+        # ---- round-2 accepts (the scans already ran on device) ----
         if ((hi1 > lo1) | (hi2 > lo2)).any():
-            vt2p = np.asarray(self._vote2(
-                out["keys"], out["qv"], out["okv"], out["strand_stream"],
-                out["extracted"], jnp.asarray(vt_dis),
-                jnp.asarray(lo1), jnp.asarray(hi1),
-                jnp.asarray(lo2), jnp.asarray(hi2),
-            ))
             u32 = lambda x: int(x) & U32
             for (lo, hi), vt2 in (((lo1, hi1), vt2p[:, :8]),
                                   ((lo2, hi2), vt2p[:, 8:])):

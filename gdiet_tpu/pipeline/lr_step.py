@@ -219,6 +219,66 @@ def _vote2_scan(
     return {k: v for k, v in final.items() if k.startswith("b_")}
 
 
+def _lr_filters_device(vt, lens, cov_thr, k, vt_df1, vt_f, bw, K):
+    """Density filter 1 + relative filter + boundary adjustment + round-2
+    window computation on device (map.c:1355-1445, the oracle's
+    apply_filters). Bit-compatible with the host version: f32 products,
+    u32 wraparound, i32 sign casts.
+
+    Returns (kept_len [B], score, fq (u32 bits), lq, str, chrom,
+    ft (i32), lt (i32 bits), lt_unsigned flag, lo1, hi1, lo2, hi2)."""
+    i32, i64, f32 = jnp.int32, jnp.int64, jnp.float32
+    U32j = jnp.int64(0xFFFFFFFF)
+    score = vt["k_score"].astype(i64)
+    fq = vt["k_fq"].astype(i64)
+    lq = vt["k_lq"].astype(i64)
+    ft_u = (vt["k_first_t"] & jnp.uint64(0xFFFFFFFF)).astype(i64)
+    lt_u = (vt["k_last_t"] & jnp.uint64(0xFFFFFFFF)).astype(i64)
+    chrom = (vt["k_first_t"] >> jnp.uint64(32)).astype(i64)
+    out_len = vt["out_len"].astype(i64)
+
+    def sext(v):  # _i32: sign-extend the low 32 bits
+        return jnp.where(v >= (1 << 31), v - (1 << 32), v)
+
+    cidx = jnp.arange(K, dtype=i64)[None, :]
+    valid0 = cidx < out_len[:, None]
+    span0 = sext(lt_u) - sext(ft_u)
+    df1_pass = score.astype(f32) > f32(vt_df1) * span0.astype(f32)
+    nb_df = (df1_pass & valid0).sum(axis=1)
+    valid1 = cidx < nb_df[:, None]
+    thr = (score[:, 0].astype(f32) * f32(vt_f)).astype(i32).astype(i64)
+    ge = score >= thr[:, None]
+    kept = valid1 & jnp.cumprod(ge.astype(i32), axis=1).astype(bool)
+
+    fq2 = (fq - (k - 1)) & U32j
+    ft2 = sext((ft_u - (k - 1)) & U32j)
+    dq = (lq - fq2) & U32j
+    span = sext(lt_u) - ft2
+    cond = dq.astype(jnp.float64) + 0.5 * bw < span.astype(jnp.float64)
+    lt_adj = (ft2.astype(jnp.float64) + dq.astype(jnp.float64)
+              + 0.5 * bw).astype(i64)  # int() truncation of f64
+    lt2 = jnp.where(cond, sext(lt_adj & U32j), lt_u)
+
+    any_kept = kept.any(axis=1)
+    # qrstart starts at qlen and only moves down (map.c:1387-1391), so a
+    # u32-wrapped first_query_loc above qlen never updates it
+    qrstart = jnp.minimum(
+        lens, jnp.where(kept, fq2, jnp.int64(1) << 62).min(axis=1)
+    )
+    qrend = jnp.where(kept, lq, 0).max(axis=1)
+    cov = cov_thr.astype(i64)
+    win1 = any_kept & (qrstart > cov)
+    win2 = any_kept & ((lens - qrend) > cov)
+    z = jnp.zeros_like(lens)
+    lo1 = z
+    hi1 = jnp.where(win1, qrstart, 0).astype(i32)
+    lo2 = jnp.where(win2, qrend, 0).astype(i32)
+    hi2 = jnp.where(win2, lens, 0).astype(i32)
+    kept_len = jnp.where(kept, 1, 0).sum(axis=1)
+    return (kept_len, score, fq2, lq, vt["k_str"].astype(i64), chrom,
+            ft2, lt2, cond, lo1.astype(i32), hi1, lo2, hi2)
+
+
 def lr_front(
     codes, lens,
     idx_keys, idx_starts, idx_positions, idx_buckets,
@@ -226,10 +286,14 @@ def lr_front(
     cov_thr,  # [B] i32
     vt_dis,  # [B] u64 (opt.vt_dis)
     cfg: StepConfig,
+    k: int = 0,
+    vt_df1: float = 0.0,
+    vt_f: float = 0.0,
+    bw: int = 0,
 ):
-    """Device front of the LR mm_map_frag: shared hit collection + round-1
-    vote. Returns vote results plus the device-resident hit stream for the
-    round-2 scan."""
+    """Device front of the LR mm_map_frag: shared hit collection, round-1
+    vote, density/relative filters and BOTH round-2 window scans — one
+    dispatch, one packed tensor back to the host."""
     B = codes.shape[0]
     (fallback, shift, extracted, mv_n, capped,
      fk, fq, fok, rk, rq, rok, A_stream) = collect_hits(
@@ -248,55 +312,58 @@ def lr_front(
     vt = _vote_scan_lr(
         keys, qv, okv, strand_stream, extracted, vt_dis, cov_thr, cfg.K
     )
-    # single packed [B, 4 + 8K] i32 tensor for the host (the TPU link has
-    # high per-transfer latency); u64 target fields split into hi/lo words
+    (kept_len, score, fq2, lq, strv, chrom, ft2, lt2, ltadj,
+     lo1, hi1, lo2, hi2) = _lr_filters_device(
+        vt, lens.astype(jnp.int64), cov_thr, k, vt_df1, vt_f, bw, cfg.K
+    )
+    vt2p = vote2_packed_pair(
+        keys, qv, okv, strand_stream, extracted, vt_dis, lo1, hi1, lo2, hi2
+    )
+    # single packed [B, 4 + 8K + 4 + 16] i32 tensor for the host (the TPU
+    # link has high per-transfer latency)
     i32 = jnp.int32
     cols = [
         fallback.astype(i32)[:, None],
         shift.astype(i32)[:, None],
         extracted.astype(i32)[:, None],
-        vt["out_len"][:, None],
-        vt["k_score"],
-        vt["k_fq"],
-        vt["k_lq"],
-        vt["k_str"],
-        (vt["k_first_t"] >> jnp.uint64(32)).astype(i32),
-        (vt["k_first_t"] & jnp.uint64(0xFFFFFFFF)).astype(i32),
-        (vt["k_last_t"] >> jnp.uint64(32)).astype(i32),
-        (vt["k_last_t"] & jnp.uint64(0xFFFFFFFF)).astype(i32),
+        kept_len.astype(i32)[:, None],
+        score.astype(i32),
+        fq2.astype(i32),  # u32 bit pattern
+        lq.astype(i32),
+        strv.astype(i32),
+        chrom.astype(i32),
+        ft2.astype(i32),  # signed
+        lt2.astype(i32),  # signed if lt_adj flag else u32 bit pattern
+        ltadj.astype(i32),
+        lo1[:, None], hi1[:, None], lo2[:, None], hi2[:, None],
+        vt2p,
     ]
-    return {
-        "meta": jnp.concatenate(cols, axis=1),
-        "extracted": extracted,
-        "keys": keys,
-        "qv": qv,
-        "okv": okv,
-        "strand_stream": strand_stream,
-    }
+    return {"meta": jnp.concatenate(cols, axis=1)}
 
 
-LR_META_B = 4  # fallback, shift, extracted, out_len
-LR_META_BK = 8  # score, fq, lq, str, ft_hi, ft_lo, lt_hi, lt_lo
+LR_META_B = 4  # fallback, shift, extracted, kept_len
+LR_META_BK = 8  # score, fq, lq, str, chrom, ft, lt, lt_adj
 
 
 def unpack_lr_meta(meta, K: int) -> dict:
     """Host inverse of lr_front's packed meta."""
     import numpy as np
 
-    u32 = lambda x: x.astype(np.int64) & 0xFFFFFFFF
     out = {
         "fallback": meta[:, 0].astype(bool),
         "shift": meta[:, 1],
         "extracted": meta[:, 2],
-        "out_len": meta[:, 3],
+        "kept_len": meta[:, 3],
     }
     base = LR_META_B
-    names = ("k_score", "k_fq", "k_lq", "k_str", "ft_hi", "ft_lo", "lt_hi",
-             "lt_lo")
+    names = ("k_score", "k_fq", "k_lq", "k_str", "k_chrom", "k_ft", "k_lt",
+             "k_lt_adj")
     for f, name in enumerate(names):
         out[name] = meta[:, base + f * K : base + (f + 1) * K]
-    out["k_first_t"] = (u32(out.pop("ft_hi")) << 32) | u32(out.pop("ft_lo"))
-    out["k_last_t"] = (u32(out.pop("lt_hi")) << 32) | u32(out.pop("lt_lo"))
+    base += len(names) * K
+    for j, name in enumerate(("lo1", "hi1", "lo2", "hi2")):
+        out[name] = meta[:, base + j]
+    out["vt2"] = meta[:, base + 4 : base + 20]
     return out
 
 
