@@ -613,6 +613,32 @@ def collect_hits(
             fk, fq, fok, rk, rq, rok, A_stream)
 
 
+def _window_rows(flat, fstart, L):
+    """Contiguous-window gather: out[n, j] = flat[fstart[n] + j] (garbage —
+    zeros or neighbours — where fstart+j is out of range; callers mask).
+
+    Gathers 128-byte chunk ROWS (fast) and aligns each row with a 128-way
+    masked shift select instead of gathering L elements per row (slow)."""
+    N = fstart.shape[0]
+    Cn = (L + 127) // 128 + 2  # chunks covering rem + L
+    pad_front = 256
+    total = flat.shape[0] + pad_front
+    total_pad = (total + Cn * 128 + 127) // 128 * 128 + Cn * 128
+    flat_p = jnp.zeros((total_pad,), flat.dtype)
+    flat_p = jax.lax.dynamic_update_slice(flat_p, flat, (pad_front,))
+    fp = jnp.clip(fstart + pad_front, 0, total_pad - Cn * 128)
+    crow = fp // 128
+    rows = crow[:, None] + jnp.arange(Cn, dtype=fp.dtype)[None, :]
+    buf = jnp.take(flat_p.reshape(-1, 128), rows.reshape(-1), axis=0)
+    buf = buf.reshape(N, Cn * 128)
+    rem = (fp - crow * 128).astype(jnp.int32)
+    out = jnp.zeros((N, L), flat.dtype)
+    for s in range(128):
+        sl = jax.lax.dynamic_slice_in_dim(buf, s, L, 1)
+        out = jnp.where((rem == s)[:, None], sl, out)
+    return out
+
+
 def fused_map_step(
     codes,  # [B, Lmax] uint8 (255 pad)
     lens,  # [B] int64
@@ -722,19 +748,21 @@ def fused_map_step(
     fallback = fallback | (c_valid & bad).any(axis=1)
     live = c_valid & ~bad
 
-    # ---- phase 7: window gathers ----
+    # ---- phase 7: window gathers. The windows are CONTIGUOUS ranges, so
+    # instead of per-element gathers (~45 ms each on TPU) gather whole
+    # 128-byte chunk rows and align with a 128-way shift select ----
     j = jnp.arange(cfg.Lmax, dtype=I64)[None, None, :]  # [1, 1, L]
     in_win = j < length[:, :, None]
-    qi = jnp.where(rev[:, :, None], eo[:, :, None] - j, so[:, :, None] + j)
-    qi_c = jnp.clip(qi, 0, cfg.Lmax - 1)
-    bidx = jnp.arange(B, dtype=I64)[:, None, None]
-    qg = jnp.take(
-        codes.reshape(-1).astype(jnp.int32), bidx * cfg.Lmax + qi_c
-    )
-    qg = jnp.where(rev[:, :, None], qg ^ 3, qg)
+    s0 = jnp.where(rev, eo - (cfg.Lmax - 1), so)
+    bidx = jnp.arange(B, dtype=I64)[:, None]
+    fstart_q = bidx * cfg.Lmax + s0  # may dip below 0 for reverse windows
+    qraw = _window_rows(codes.reshape(-1), fstart_q.reshape(-1), cfg.Lmax)
+    qraw = qraw.reshape(B, K, cfg.Lmax).astype(jnp.int32)
+    qg = jnp.where(rev[:, :, None], jnp.flip(qraw, axis=2) ^ 3, qraw)
     qbuf = jnp.where(in_win & live[:, :, None], qg, 0).astype(jnp.uint8)
-    gidx = jnp.take(ref_offsets, chrom_c)[:, :, None] + ts[:, :, None] + j
-    tg = jnp.take(ref_codes, jnp.clip(gidx, 0, max(ref_codes.shape[0] - 1, 0)))
+    fstart_t = jnp.take(ref_offsets, chrom_c) + ts
+    tg = _window_rows(ref_codes, fstart_t.reshape(-1), cfg.Lmax)
+    tg = tg.reshape(B, K, cfg.Lmax)
     tbuf = jnp.where(in_win & live[:, :, None], tg, 0).astype(jnp.uint8)
 
     # ---- phase 8: exact-match + banded DP ----
