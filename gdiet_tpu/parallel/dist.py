@@ -32,6 +32,24 @@ from gdiet_tpu.pipeline.device_step import StepConfig, _pattern_tables, fused_ma
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (SURVEY.md §5.8): initialize jax.distributed so
+    every pod host contributes its local chips to one global mesh. Safe to
+    call on a single host (no-op without a coordinator address); per-host
+    FASTQ sharding + an `(data, ref)` mesh over `jax.devices()` then give
+    data-parallel read batches and a key-range-sharded index across hosts,
+    with all collectives riding ICI/DCN via shard_map."""
+    if coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_data: int, n_ref: int, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     assert devices.size >= n_data * n_ref, "not enough devices for mesh"

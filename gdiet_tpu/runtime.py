@@ -51,6 +51,16 @@ def load_or_build_index(
         refs = [(r.name, r.seq) for r in read_fastx(target)]
         mi = build_index(refs, io)
     _log(verbose, t0, f"built the index for {mi.n_seq} target sequence(s)")
+    if verbose >= 3:  # mm_idx_stat (index.c:102-127)
+        st = mi.stats()
+        print(
+            f"[M::mm_idx_stat] kmer size: {st['kmer_size']}; skip: "
+            f"{st['skip']}; #seq: {st['n_seq']}; distinct minimizers: "
+            f"{st['distinct_minimizers']} ({st['pct_singletons']:.2f}% are "
+            f"singletons); average occurrences: {st['avg_occurrences']:.3f}; "
+            f"average spacing: {st['avg_spacing']:.3f}",
+            file=sys.stderr,
+        )
     return mi
 
 
