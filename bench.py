@@ -162,37 +162,42 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
             batch = batch + [batch[0]] * (B - len(batch))
         batches.append(batch)
 
-    out_lines = []
-    n_fallback = 0
+    # tail batches are padded to the compiled shape; cut their SAM blobs at
+    # the last real read's records by counting newlines per real read later
+    blobs = []
     t0 = time.perf_counter()
-    for batch, n_real, results in zip(
-        batches, tails, mapper.map_stream(batches)
+    for (batch, n_real), blob in zip(
+        zip(batches, tails), mapper.map_stream_sam(iter(batches))
     ):
-        for rec, regs in zip(batch[:n_real], results[:n_real]):
-            if regs:
-                for r in regs:
-                    if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
-                        continue
-                    out_lines.append(
-                        samio.sam_record(rec.name, rec.seq, rec.qual, r, regs,
-                                         mi.names, mo.flag, 0)
-                    )
-            else:
-                out_lines.append(
-                    samio.sam_record(rec.name, rec.seq, rec.qual, None, [],
-                                     mi.names, mo.flag, 0)
-                )
+        if n_real < len(batch):
+            # records are newline-terminated and reads appear in order;
+            # padded reads are copies of batch[0] -> drop them by re-running
+            # the span cut: find the byte offset after n_real reads' records
+            lines = blob.split(b"\n")
+            kept, seen, last_name = [], 0, None
+            for ln in lines:
+                if not ln:
+                    continue
+                nm = ln.split(b"\t", 1)[0]
+                if nm != last_name:
+                    seen += 1
+                    last_name = nm
+                if seen > n_real:
+                    break
+                kept.append(ln)
+            blob = b"\n".join(kept) + b"\n"
+        blobs.append(blob)
     dt = time.perf_counter() - t0
-    (BENCH_DIR / "ours_out.sam").write_text(
-        samio.sam_header(mi.names, [int(x) for x in mi.lengths])
-        + "\n".join(out_lines) + "\n"
-    )
+    body = b"".join(blobs)
+    with open(BENCH_DIR / "ours_out.sam", "wb") as f:
+        f.write(samio.sam_header(mi.names, [int(x) for x in mi.lengths]).encode())
+        f.write(body)
     rps = len(reads) / dt
     stats = {
         "seconds": dt,
         "n_reads": len(reads),
-        "n_records": len(out_lines),
-        "fallback_reads": n_fallback,
+        "n_records": body.count(b"\n"),
+        "fallback_reads": mapper.stats["fallback_reads"],
         "platform": jax.devices()[0].platform,
     }
     log(f"gdiet_tpu: {dt:.2f}s -> {rps:.0f} reads/s on {stats['platform']}")
@@ -281,16 +286,19 @@ def lr_stats(fa: pathlib.Path) -> dict:
     def batches():
         for s in range(0, len(reads), B):
             batch = reads[s : s + B]
-            if len(batch) < B:
-                batch = batch + [batch[0]] * (B - len(batch))
-            yield batch
+            yield len(batch), (
+                batch + [batch[0]] * (B - len(batch)) if len(batch) < B
+                else batch
+            )
 
-    for _ in mapper.map_stream(batches()):  # compile every batch shape
-        pass
+    for _, b in batches():  # compile every batch shape
+        for _ in mapper.map_stream(iter([b])):
+            pass
     t0 = time.perf_counter()
-    n_done = 0
-    for _ in mapper.map_stream(batches()):
-        n_done += B
+    n_done = 0  # count only real (non-padding) reads
+    gen = mapper.map_stream(b for _, b in batches())
+    for (n_real, _), _res in zip(batches(), gen):
+        n_done += n_real
     out["lr_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 1)
     return out
 

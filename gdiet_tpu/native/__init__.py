@@ -79,6 +79,17 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.sr_finish_batch.restype = ctypes.c_int64
+    lib.sr_finish_batch.argtypes = (
+        [ctypes.POINTER(ctypes.c_uint8)] + [ctypes.c_int64] * 4
+        + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+        + [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)] * 3
+        + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+        + [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        + [ctypes.c_int64] * 9
+        + [ctypes.c_char_p, ctypes.c_int64,
+           ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+    )
     return lib
 
 
@@ -237,3 +248,65 @@ def update_extra_full_batch(jobs: list, a: int, b: int, q: int, e: int,
         for i in range(n)
     ]
     return out, cigars
+
+
+def _blob(strs: list[str]) -> tuple[bytes, np.ndarray]:
+    offs = np.zeros(len(strs) + 1, np.int64)
+    np.cumsum([len(s) for s in strs], out=offs[1:])
+    return "".join(strs).encode(), offs
+
+
+def sr_finish_batch(
+    packed: np.ndarray,  # [B, stride] uint8 (fused step output, on host)
+    K: int,
+    Lmax: int,
+    codes: np.ndarray,  # [B, Lmax] uint8
+    lens: np.ndarray,  # [B] int64
+    names: list[str],
+    seqs: list[str],
+    quals: list[str],  # "" for missing
+    ref_codes: np.ndarray,  # uint8 flat
+    ref_seq_offs: np.ndarray,  # [n_ref] int64
+    ref_names_blob: bytes,
+    ref_name_offs: np.ndarray,  # [n_ref+1] int64
+    a: int, b: int, q: int, e: int,
+    min_dp_max: int, max_nb_sec: int,
+    no_print_2nd: bool, softclip: bool, rep_len: int = 0,
+):
+    """Entire short-read host finish (regs + filters + SAM text) in one C
+    call. Returns (sam_buffer bytes, rec_offs [B+1], done [B] u8) or None
+    when the native library is unavailable."""
+    if lib is None:
+        return None
+    B, stride = packed.shape
+    packed = np.ascontiguousarray(packed)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nblob, noffs = _blob(names)
+    sblob, soffs = _blob(seqs)
+    qblob, qoffs = _blob(quals)
+    cap = int(
+        noffs[-1] + 2 * soffs[-1] + qoffs[-1] + B * 448 + (1 << 16)
+    )
+    for _ in range(3):
+        out = ctypes.create_string_buffer(cap)
+        rec_offs = np.zeros(B + 1, np.int64)
+        done = np.zeros(B, np.uint8)
+        rc = lib.sr_finish_batch(
+            _ptr(packed, ctypes.c_uint8), stride, B, K, Lmax,
+            _ptr(codes, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
+            nblob, _ptr(noffs, ctypes.c_int64),
+            sblob, _ptr(soffs, ctypes.c_int64),
+            qblob, _ptr(qoffs, ctypes.c_int64),
+            _ptr(np.ascontiguousarray(ref_codes, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(ref_seq_offs, np.int64), ctypes.c_int64),
+            ref_names_blob, _ptr(ref_name_offs, ctypes.c_int64),
+            a, b, q, e, min_dp_max, max_nb_sec,
+            1 if no_print_2nd else 0, 1 if softclip else 0, rep_len,
+            out, cap, _ptr(rec_offs, ctypes.c_int64),
+            _ptr(done, ctypes.c_uint8),
+        )
+        if rc >= 0:
+            return out.raw[:rc], rec_offs, done
+        cap *= 4
+    return None

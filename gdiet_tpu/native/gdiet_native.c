@@ -306,3 +306,424 @@ void update_extra_full_batch(const uint8_t *qbuf, const int64_t *qoffs,
         out[i * 8 + 7] = lead_len;
     }
 }
+
+/* ------------------------------------------------------------------ *
+ * sr_finish_batch: the whole short-read host finish in one call.
+ *
+ * Consumes the fused device step's packed output tensor directly and
+ * emits final SAM text per read: op-stream RLE (ksw_backtrack host half),
+ * CIGAR fix-ups + rescoring (align.c:93-172, 259-318), clip/min_dp_max
+ * filters and score insertion sort (map.c:956-979), mm_set_sam_params
+ * (hit.c:494-557), and mm_write_sam3 field/tag formatting
+ * (format.c:412-602, write_tags format.c:292-324).
+ *
+ * Reads whose records cannot be finished in the fixed envelope get
+ * done[i] = 0 and are finished by the Python oracle path instead.
+ * ------------------------------------------------------------------ */
+
+#include <stdio.h>
+
+#define SRF_MAX_CIG 1024
+#define SRF_MAX_REGS 16
+
+typedef struct {
+    int32_t rid, qs, qe, rs, re, rev;
+    int32_t mapq, id, parent, sam_pri;
+    int64_t score, dp_score, dp_max, blen, mlen, n_ambi;
+    uint32_t cig[SRF_MAX_CIG];
+    int64_t n_cig;
+} srf_reg_t;
+
+static inline char *srf_put_u64(char *p, uint64_t v) {
+    char tmp[24]; int n = 0;
+    do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+static inline char *srf_put_i64(char *p, int64_t v) {
+    if (v < 0) { *p++ = '-'; return srf_put_u64(p, (uint64_t)(-v)); }
+    return srf_put_u64(p, (uint64_t)v);
+}
+static inline char *srf_put_mem(char *p, const char *s, int64_t l) {
+    memcpy(p, s, (size_t)l); return p + l;
+}
+static inline char *srf_put_str(char *p, const char *s) {
+    while (*s) *p++ = *s++;
+    return p;
+}
+
+static const char srf_cigar_str[] = "MIDNSHP=XB";
+
+/* mm_event_identity (align.c:961-966) */
+static double srf_event_identity(const srf_reg_t *r) {
+    int64_t n_gap = 0, n_gapo = 0;
+    for (int64_t i = 0; i < r->n_cig; i++) {
+        int op = r->cig[i] & 0xf;
+        if (op == 1 || op == 2) { n_gapo++; n_gap += r->cig[i] >> 4; }
+    }
+    int64_t denom = r->blen + r->n_ambi - n_gap + n_gapo;
+    return denom ? (double)r->mlen / (double)denom : 0.0;
+}
+
+/* mm_set_sam_params (hit.c:494-557) on the sorted reg array */
+static void srf_set_sam_params(srf_reg_t **regs, int64_t n, int64_t qlen,
+                               int64_t match_a, int64_t max_nb_sec) {
+    for (int64_t i = 0; i < n; i++) regs[i]->id = (int32_t)i;
+    int64_t supp_threshold = (int64_t)(0.8 * (double)(regs[0]->qe - regs[0]->qs));
+    int64_t nb_sec = 0, dp_max2 = 0;
+    regs[0]->sam_pri = 1;
+    regs[0]->parent = regs[0]->id;
+    for (int64_t i = 1; i < n; i++) {
+        regs[i]->sam_pri = 0;
+        if (regs[i]->qe - regs[i]->qs > supp_threshold) {
+            nb_sec++;
+            regs[i]->mapq = 0;
+            regs[i]->parent = regs[i]->id + 1;
+            dp_max2 = regs[i]->score;
+        } else {
+            regs[i]->mapq = 60;
+            regs[i]->parent = regs[i]->id;
+        }
+    }
+    for (int64_t i = 1; i + 1 < n; i++) {       /* hit.c:515-532 */
+        if (regs[i]->parent != regs[i]->id) {
+            for (int64_t j = i + 1; j < n; j++) {
+                if (regs[j]->parent == regs[j]->id) {
+                    srf_reg_t *t = regs[i]; regs[i] = regs[j]; regs[j] = t;
+                    break;
+                } else if (regs[i]->score < regs[j]->score) {
+                    srf_reg_t *t = regs[i]; regs[i] = regs[j]; regs[j] = t;
+                }
+            }
+        }
+    }
+    if (max_nb_sec < nb_sec) nb_sec = max_nb_sec;
+    srf_reg_t *r0 = regs[0];
+    if (nb_sec > 9) r0->mapq = 0;
+    else if (nb_sec > 6) r0->mapq = 1;
+    else if (nb_sec > 4) r0->mapq = 2;
+    else if (nb_sec == 3) r0->mapq = 3;
+    else if (nb_sec == 2) r0->mapq = 5;
+    else if (nb_sec == 1) {
+        int64_t dp_max = r0->score;
+        double identity = r0->blen ? (double)r0->mlen / (double)r0->blen : 0.0;
+        int64_t denom = qlen * match_a - dp_max2;
+        r0->mapq = denom
+            ? (int32_t)(54.0 * identity * (double)(dp_max - dp_max2) / (double)denom + 5)
+            : 60;
+    } else r0->mapq = 60;
+}
+
+/* 2-bit op stream (back-to-front) -> front-to-back packed cigar.
+ * Returns run count, or -1 on overflow. */
+static int64_t srf_rle(const uint8_t *opbytes, int64_t nbytes,
+                       int32_t fin_i, int32_t fin_j, uint32_t *dst) {
+    int64_t m = 0, j = 0, total = nbytes * 4;
+    while (j < total) {
+        int op = (opbytes[j >> 2] >> ((j & 3) * 2)) & 3;
+        if (op == 3) break;
+        int64_t len = 0;
+        while (j < total) {
+            int o2 = (opbytes[j >> 2] >> ((j & 3) * 2)) & 3;
+            if (o2 != op) break;
+            len++; j++;
+        }
+        if (m >= SRF_MAX_CIG) return -1;
+        dst[m++] = ((uint32_t)len << 4) | (uint32_t)op;
+    }
+    if (fin_i >= 0) {
+        if (m > 0 && (dst[m - 1] & 0xf) == 2) dst[m - 1] += ((uint32_t)(fin_i + 1)) << 4;
+        else { if (m >= SRF_MAX_CIG) return -1; dst[m++] = ((uint32_t)(fin_i + 1) << 4) | 2; }
+    }
+    if (fin_j >= 0) {
+        if (m > 0 && (dst[m - 1] & 0xf) == 1) dst[m - 1] += ((uint32_t)(fin_j + 1)) << 4;
+        else { if (m >= SRF_MAX_CIG) return -1; dst[m++] = ((uint32_t)(fin_j + 1) << 4) | 1; }
+    }
+    for (int64_t x = 0, y = m - 1; x < y; x++, y--) {
+        uint32_t t = dst[x]; dst[x] = dst[y]; dst[y] = t;
+    }
+    return m;
+}
+
+/* format one SAM record (mm_write_sam3, format.c:412-602; n_seg == 1).
+ * Returns the advanced output pointer. */
+static char *srf_write_sam(char *p, const srf_reg_t *r,
+                           srf_reg_t *const *regs, int64_t n_regs,
+                           const char *name, int64_t name_len,
+                           const char *seq, int64_t qlen,
+                           const char *qual, int64_t qual_len,
+                           const char *ref_names_blob,
+                           const int64_t *ref_name_offs,
+                           int softclip, int64_t rep_len) {
+    int flag = 0;
+    if (r == NULL) flag |= 0x4;
+    else {
+        if (r->rev) flag |= 0x10;
+        if (r->parent != r->id) flag |= 0x100;
+        else if (!r->sam_pri) flag |= 0x800;
+    }
+    p = srf_put_mem(p, name, name_len);
+    *p++ = '\t';
+    p = srf_put_i64(p, flag);
+    *p++ = '\t';
+    if (r == NULL) {
+        p = srf_put_str(p, "*\t0\t0\t*");
+    } else {
+        p = srf_put_mem(p, ref_names_blob + ref_name_offs[r->rid],
+                        ref_name_offs[r->rid + 1] - ref_name_offs[r->rid]);
+        *p++ = '\t';
+        p = srf_put_i64(p, r->rs + 1);
+        *p++ = '\t';
+        p = srf_put_i64(p, r->mapq);
+        *p++ = '\t';
+        if (r->n_cig == 0) *p++ = '*';
+        else {
+            int64_t clip0 = r->rev ? qlen - r->qe : r->qs;
+            int64_t clip1 = r->rev ? r->qs : qlen - r->qe;
+            char clip_char = ((flag & 0x800) && !softclip) ? 'H' : 'S';
+            if (clip0) { p = srf_put_i64(p, clip0); *p++ = clip_char; }
+            for (int64_t i = 0; i < r->n_cig; i++) {
+                p = srf_put_i64(p, r->cig[i] >> 4);
+                *p++ = srf_cigar_str[r->cig[i] & 0xf];
+            }
+            if (clip1) { p = srf_put_i64(p, clip1); *p++ = clip_char; }
+        }
+    }
+    p = srf_put_str(p, "\t*\t0\t0\t");
+    /* SEQ / QUAL (format.c:533-559) */
+    if (r == NULL || (flag & 0x900) == 0 || softclip) {
+        if (r != NULL && r->rev) {
+            for (int64_t i = qlen - 1; i >= 0; i--)
+                *p++ = (char)comp_table[(uint8_t)seq[i]];
+        } else p = srf_put_mem(p, seq, qlen);
+        *p++ = '\t';
+        if (qual_len == 0) *p++ = '*';
+        else if (r != NULL && r->rev) {
+            for (int64_t i = qual_len - 1; i >= 0; i--) *p++ = qual[i];
+        } else p = srf_put_mem(p, qual, qual_len);
+    } else if (flag & 0x100) {
+        p = srf_put_str(p, "*\t*");
+    } else {
+        int64_t l = r->qe - r->qs;
+        if (r->rev) {
+            for (int64_t i = r->qe - 1; i >= r->qs; i--)
+                *p++ = (char)comp_table[(uint8_t)seq[i]];
+        } else p = srf_put_mem(p, seq + r->qs, l);
+        *p++ = '\t';
+        if (qual_len == 0) *p++ = '*';
+        else if (r->rev) {
+            for (int64_t i = r->qe - 1; i >= r->qs; i--) *p++ = qual[i];
+        } else p = srf_put_mem(p, qual + r->qs, l);
+    }
+    if (r != NULL) {
+        /* write_tags (format.c:292-324) */
+        p = srf_put_str(p, "\tNM:i:");
+        p = srf_put_i64(p, r->blen - r->mlen + r->n_ambi);
+        p = srf_put_str(p, "\tms:i:");
+        p = srf_put_i64(p, r->dp_max);
+        p = srf_put_str(p, "\tAS:i:");
+        p = srf_put_i64(p, r->dp_score);
+        p = srf_put_str(p, "\tnn:i:");
+        p = srf_put_i64(p, r->n_ambi);
+        p = srf_put_str(p, "\ttp:A:");
+        *p++ = (r->id == r->parent) ? 'P' : 'S';
+        p = srf_put_str(p, "\tcm:i:0\ts1:i:");
+        p = srf_put_i64(p, r->score);
+        if (r->parent == r->id) p = srf_put_str(p, "\ts2:i:0");
+        double div = 1.0 - srf_event_identity(r);
+        if (div == 0.0) p = srf_put_str(p, "\tde:f:0");
+        else p += sprintf(p, "\tde:f:%.4f", div);
+        /* SA tag for co-primary alignments (format.c:566-591) */
+        if (r->parent == r->id && r->n_cig && n_regs > 1) {
+            int has = 0;
+            for (int64_t i = 0; i < n_regs; i++)
+                if (regs[i] != r && regs[i]->parent == regs[i]->id && regs[i]->n_cig)
+                    has = 1;
+            if (has) {
+                p = srf_put_str(p, "\tSA:Z:");
+                for (int64_t i = 0; i < n_regs; i++) {
+                    const srf_reg_t *q = regs[i];
+                    if (q == r || q->parent != q->id || !q->n_cig) continue;
+                    int64_t l_M, l_I, l_D;
+                    if (q->qe - q->qs < q->re - q->rs) {
+                        l_M = q->qe - q->qs; l_I = 0;
+                        l_D = (q->re - q->rs) - (q->qe - q->qs);
+                    } else {
+                        l_M = q->re - q->rs;
+                        l_I = (q->qe - q->qs) - (q->re - q->rs); l_D = 0;
+                    }
+                    int64_t clip5 = q->rev ? qlen - q->qe : q->qs;
+                    int64_t clip3 = q->rev ? q->qs : qlen - q->qe;
+                    p = srf_put_mem(p, ref_names_blob + ref_name_offs[q->rid],
+                                    ref_name_offs[q->rid + 1] - ref_name_offs[q->rid]);
+                    *p++ = ',';
+                    p = srf_put_i64(p, q->rs + 1);
+                    *p++ = ',';
+                    *p++ = q->rev ? '-' : '+';
+                    *p++ = ',';
+                    if (clip5) { p = srf_put_i64(p, clip5); *p++ = 'S'; }
+                    if (l_M) { p = srf_put_i64(p, l_M); *p++ = 'M'; }
+                    if (l_I) { p = srf_put_i64(p, l_I); *p++ = 'I'; }
+                    if (l_D) { p = srf_put_i64(p, l_D); *p++ = 'D'; }
+                    if (clip3) { p = srf_put_i64(p, clip3); *p++ = 'S'; }
+                    *p++ = ',';
+                    p = srf_put_i64(p, q->mapq);
+                    *p++ = ',';
+                    p = srf_put_i64(p, q->blen - q->mlen + q->n_ambi);
+                    *p++ = ';';
+                }
+            }
+        }
+    }
+    if (rep_len >= 0) {
+        p = srf_put_str(p, "\trl:i:");
+        p = srf_put_i64(p, rep_len);
+    }
+    *p++ = '\n';
+    return p;
+}
+
+/* Finish a whole short-read batch from the fused step's packed tensor:
+ * for each non-fallback read, build candidate regs (exact-match or RLE of
+ * the device-backtracked op stream + fix_cigar + rescoring), apply the
+ * clip/min_dp_max filters and score insertion sort (map.c:956-979), assign
+ * SAM params (hit.c:494-557) and write final SAM records.
+ *
+ * packed row layout (pipeline/device_step.py pack_outputs/pack_ops):
+ * (3 + 13*K) little-endian int32 meta columns, then K op streams of
+ * 2*Lmax/4 bytes (2-bit ops, back-to-front).
+ *
+ * rec_offs[i]..rec_offs[i+1] spans read i's records in out_buf; done[i]=0
+ * marks reads the caller must finish via the oracle (fallback flag, cigar
+ * overflow). Returns total bytes used, or -1 if out_cap was too small. */
+int64_t sr_finish_batch(
+    const uint8_t *packed, int64_t stride, int64_t B, int64_t K, int64_t Lmax,
+    const uint8_t *codes, const int64_t *lens,
+    const char *names_blob, const int64_t *name_offs,
+    const char *seq_blob, const int64_t *seq_offs,
+    const char *qual_blob, const int64_t *qual_offs,
+    const uint8_t *ref_codes, const int64_t *ref_seq_offs,
+    const char *ref_names_blob, const int64_t *ref_name_offs,
+    int64_t a, int64_t b, int64_t q_gap, int64_t e_gap,
+    int64_t min_dp_max, int64_t max_nb_sec, int64_t no_print_2nd,
+    int64_t softclip, int64_t rep_len,
+    char *out_buf, int64_t out_cap,
+    int64_t *rec_offs, uint8_t *done) {
+    const int64_t F = 3 + 13 * K;
+    const int64_t ops_nbytes = (2 * Lmax) / 4;
+    char *p = out_buf;
+    char *end = out_buf + out_cap;
+    srf_reg_t *regs = (srf_reg_t *)__builtin_malloc(
+        sizeof(srf_reg_t) * (size_t)(K < SRF_MAX_REGS ? SRF_MAX_REGS : K));
+    srf_reg_t *order[SRF_MAX_REGS];
+    uint8_t qwin[1024], twin[1024];
+    if (!regs) return -1;
+    for (int64_t i = 0; i < B; i++) {
+        rec_offs[i] = p - out_buf;
+        const int32_t *meta = (const int32_t *)(packed + i * stride);
+        const uint8_t *ops = packed + i * stride + F * 4;
+        if (meta[2]) { done[i] = 0; continue; }   /* device fallback */
+        done[i] = 1;
+        int64_t qlen = lens[i];
+        const uint8_t *qcodes = codes + i * Lmax;
+        int64_t n_regs = 0;
+        int failed = 0;
+        for (int64_t c = 0; c < K && !failed; c++) {
+            if (!meta[3 + 0 * K + c]) continue;              /* c_valid */
+            int32_t rev = meta[3 + 2 * K + c];
+            int32_t chrom = meta[3 + 3 * K + c];
+            int32_t so = meta[3 + 4 * K + c], eo = meta[3 + 5 * K + c];
+            int32_t ts = meta[3 + 6 * K + c], te = meta[3 + 7 * K + c];
+            int32_t length = meta[3 + 8 * K + c];
+            int32_t exact = meta[3 + 9 * K + c];
+            int32_t dp_score = meta[3 + 10 * K + c];
+            srf_reg_t *r = &regs[n_regs];
+            memset(r, 0, sizeof(*r) - sizeof(r->cig) - sizeof(r->n_cig));
+            r->n_cig = 0;
+            r->rid = chrom; r->rev = rev;
+            r->qs = so; r->qe = eo + 1; r->rs = ts; r->re = te + 1;
+            const uint8_t *tw_src = ref_codes + ref_seq_offs[chrom] + ts;
+            if (exact) {
+                int64_t n_ambi = 0;
+                for (int64_t j2 = 0; j2 <= te - ts; j2++)
+                    if (tw_src[j2] > 3) n_ambi++;
+                r->score = r->dp_score = qlen * a;
+                r->n_ambi = n_ambi;
+                r->blen = r->mlen = length - n_ambi;
+                r->dp_max = a * (length - n_ambi);
+                r->cig[0] = ((uint32_t)length << 4);
+                r->n_cig = 1;
+            } else {
+                int32_t fin_i = meta[3 + 11 * K + c], fin_j = meta[3 + 12 * K + c];
+                int64_t m = srf_rle(ops + c * ops_nbytes, ops_nbytes,
+                                    fin_i, fin_j, r->cig);
+                if (m < 0) { failed = 1; break; }
+                r->n_cig = m;
+                int64_t wl = eo - so + 1, tl = te - ts + 1;
+                if (wl > (int64_t)sizeof(qwin) || tl > (int64_t)sizeof(twin)) {
+                    failed = 1; break;
+                }
+                if (rev)
+                    for (int64_t j2 = 0; j2 < wl; j2++)
+                        qwin[j2] = qcodes[eo - j2] ^ 3;
+                else
+                    memcpy(qwin, qcodes + so, (size_t)wl);
+                memcpy(twin, tw_src, (size_t)tl);
+                int64_t lead_op, lead_len;
+                int64_t n2 = fix_cigar_c(r->cig, r->n_cig, qwin, twin,
+                                         &lead_op, &lead_len);
+                r->n_cig = n2;
+                int64_t qs_sh = lead_op == 1 ? lead_len : 0;
+                int64_t ts_sh = lead_op == 2 ? lead_len : 0;
+                if (lead_op == 1) { if (rev) r->qe -= lead_len; else r->qs += lead_len; }
+                else if (lead_op == 2) r->rs += lead_len;
+                int64_t out6[6];
+                update_extra_scan(qwin + qs_sh, twin + ts_sh, r->cig, n2,
+                                  a, b, q_gap, e_gap, 0, out6);
+                r->blen = out6[0]; r->mlen = out6[1]; r->n_ambi = out6[2];
+                r->dp_max = out6[3];
+                r->score = r->dp_score = dp_score;
+            }
+            /* clip + min_dp_max filter, insertion sort (map.c:956-979) */
+            int64_t clip0 = r->rev ? qlen - r->qe : r->qs;
+            int64_t clip1 = r->rev ? r->qs : qlen - r->qe;
+            if (!(clip0 < qlen && clip1 < qlen) || r->dp_score < min_dp_max)
+                continue;
+            order[n_regs] = r;
+            n_regs++;
+            for (int64_t k = n_regs - 1;
+                 k > 0 && order[k]->score > order[k - 1]->score; k--) {
+                srf_reg_t *t = order[k]; order[k] = order[k - 1];
+                order[k - 1] = t;
+            }
+        }
+        if (failed) { done[i] = 0; p = out_buf + rec_offs[i]; continue; }
+        const char *name = names_blob + name_offs[i];
+        int64_t name_len = name_offs[i + 1] - name_offs[i];
+        const char *seq = seq_blob + seq_offs[i];
+        const char *qual = qual_blob + qual_offs[i];
+        int64_t qual_len = qual_offs[i + 1] - qual_offs[i];
+        /* space check: worst record ~ name + 2*(seq+qual) + tags + SA */
+        int64_t need = (name_len + 2 * qlen + qual_len + 320 +
+                        (n_regs > 1 ? n_regs * 96 : 0));
+        if (n_regs == 0) {
+            if (end - p < need) { __builtin_free(regs); return -1; }
+            p = srf_write_sam(p, NULL, NULL, 0, name, name_len, seq, qlen,
+                              qual, qual_len, ref_names_blob, ref_name_offs,
+                              (int)softclip, rep_len);
+        } else {
+            srf_set_sam_params(order, n_regs, qlen, a, max_nb_sec);
+            for (int64_t k = 0; k < n_regs; k++) {
+                const srf_reg_t *r = order[k];
+                if (no_print_2nd && r->parent != r->id) continue;
+                if (end - p < need) { __builtin_free(regs); return -1; }
+                p = srf_write_sam(p, r, order, n_regs, name, name_len, seq,
+                                  qlen, qual, qual_len, ref_names_blob,
+                                  ref_name_offs, (int)softclip, rep_len);
+            }
+        }
+    }
+    rec_offs[B] = p - out_buf;
+    __builtin_free(regs);
+    return p - out_buf;
+}

@@ -123,6 +123,9 @@ class ShortReadMapper:
             dev = self.fused(
                 jnp.asarray(codes[device_idx]), jnp.asarray(lens[device_idx])
             )
+            # start the device->host copy early so it overlaps the next
+            # batch's device compute and this batch's host finish
+            dev["packed"].copy_to_host_async()
         return reads, codes, lens, host_only, device_idx, dev
 
     def _finish(self, state) -> list[list[oal.Reg]]:
@@ -143,6 +146,138 @@ class ShortReadMapper:
                 reads[i].name,
             )
         return results
+
+    # ------------------------------------------------------------------
+    def map_stream_sam(self, batches, rep_len: int = 0):
+        """Pipelined mapping straight to SAM text: yields one ``bytes`` blob
+        of newline-terminated records per batch (read order preserved).
+        The entire host finish — candidate regs, CIGAR fix-ups, filters,
+        mm_set_sam_params, record formatting — runs in ONE native C call
+        per batch (native/gdiet_native.c sr_finish_batch); only
+        out-of-envelope reads take the Python oracle.
+
+        Also accumulates ``self.stats`` = {"fallback_reads", "n_records"}.
+        """
+        self.stats = {"fallback_reads": 0, "n_records": 0}
+        prev = None
+        for batch in batches:
+            state = self._prepare_and_dispatch(batch)
+            if prev is not None:
+                yield self._finish_sam(prev, rep_len)
+            prev = state
+        if prev is not None:
+            yield self._finish_sam(prev, rep_len)
+
+    def _oracle_sam(self, rec: SeqRecord, rep_len: int) -> bytes:
+        """Scalar-oracle mapping + Python SAM formatting for one read."""
+        from gdiet_tpu.io import sam as samio
+
+        mo = self.mo
+        regs = map_read(self._oracle_mi(), rec.seq, mo, self.mid_occ, rec.name)
+        max_idx = self.mi
+        lines = []
+        if regs:
+            for r in regs:
+                if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                    continue
+                lines.append(samio.sam_record(
+                    rec.name, rec.seq, rec.qual, r, regs, max_idx.names,
+                    mo.flag, rep_len, index=max_idx,
+                ))
+        else:
+            lines.append(samio.sam_record(
+                rec.name, rec.seq, rec.qual, None, [], max_idx.names,
+                mo.flag, rep_len,
+            ))
+        return ("\n".join(lines) + "\n").encode()
+
+    def _finish_sam(self, state, rep_len: int) -> bytes:
+        from gdiet_tpu.config import MM_F_SOFTCLIP
+
+        reads, codes, lens, host_only, device_idx, dev = state
+        mo = self.mo
+        B = len(reads)
+        spans: list = [None] * B
+        buf = b""
+        if dev is not None:
+            packed_np = np.asarray(dev["packed"])
+            di = device_idx
+            res = native.sr_finish_batch(
+                packed_np, self.fused.cfg.K, self.fused.cfg.Lmax,
+                codes[di], lens[di],
+                [reads[i].name for i in di],
+                [reads[i].seq for i in di],
+                [reads[i].qual or "" for i in di],
+                self.mi.codes, self.mi.seq_offsets,
+                self._ref_names_blob, self._ref_name_offs,
+                mo.a, mo.b, mo.q, mo.e, mo.min_dp_max,
+                0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n,
+                bool(mo.flag & MM_F_NO_PRINT_2ND),
+                bool(mo.flag & MM_F_SOFTCLIP), rep_len,
+            )
+            if res is None:  # no native library: regs path + Python writer
+                results = self._finish(state)
+                out = []
+                for rec, regs in zip(reads, results):
+                    out.append(self._regs_to_sam(rec, regs, rep_len))
+                return b"".join(out)
+            buf, rec_offs, done = res
+            for j, i in enumerate(di):
+                if done[j]:
+                    spans[i] = (int(rec_offs[j]), int(rec_offs[j + 1]))
+        view = memoryview(buf)
+        out = []
+        n_fb = 0
+        i = 0
+        while i < B:
+            if spans[i] is not None:
+                s0 = spans[i][0]
+                e0 = spans[i][1]
+                while i + 1 < B and spans[i + 1] is not None \
+                        and spans[i + 1][0] == e0:
+                    i += 1
+                    e0 = spans[i][1]
+                out.append(view[s0:e0])
+                i += 1
+            else:
+                n_fb += 1
+                out.append(self._oracle_sam(reads[i], rep_len))
+                i += 1
+        self.stats["fallback_reads"] += n_fb
+        blob = b"".join(out)
+        self.stats["n_records"] += blob.count(b"\n")
+        return blob
+
+    def _regs_to_sam(self, rec: SeqRecord, regs, rep_len: int) -> bytes:
+        from gdiet_tpu.io import sam as samio
+
+        mo = self.mo
+        lines = []
+        if regs:
+            for r in regs:
+                if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                    continue
+                lines.append(samio.sam_record(
+                    rec.name, rec.seq, rec.qual, r, regs, self.mi.names,
+                    mo.flag, rep_len, index=self.mi,
+                ))
+        else:
+            lines.append(samio.sam_record(
+                rec.name, rec.seq, rec.qual, None, [], self.mi.names,
+                mo.flag, rep_len,
+            ))
+        return ("\n".join(lines) + "\n").encode()
+
+    @property
+    def _ref_names_blob(self):
+        if getattr(self, "_rn_blob", None) is None:
+            self._rn_blob, self._rn_offs = native._blob(list(self.mi.names))
+        return self._rn_blob
+
+    @property
+    def _ref_name_offs(self):
+        _ = self._ref_names_blob
+        return self._rn_offs
 
     # ------------------------------------------------------------------
     def _finish_device(self, dev, codes_np, lens_np):
