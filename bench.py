@@ -143,10 +143,10 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
 
     reads = list(read_fastx(str(fq)))
     B = 8192
-    Lmax = 192
+    Lmax = 160
     mapper = ShortReadMapper(
-        mi, mo, max_read_len=Lmax, seed_budget=64, shift_seed_budget=16,
-        hit_budget=512,
+        mi, mo, max_read_len=Lmax, seed_budget=32, shift_seed_budget=16,
+        hit_budget=128, dp_frac=0.375,
     )
 
     # warmup / compile

@@ -80,6 +80,7 @@ LONG_OPTS_ARG = {
     "max_max_gap", "max_min_gap", "frag", "secondary", "sort", "variant",
     "batch",
 }
+LONG_OPTS_FLAG_DOC = {"print-seeds", "print-qname", "idx-no-seq"}
 LONG_OPTS_OPTARG = {"cs", "rmq"}
 
 
@@ -376,9 +377,30 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("[ERROR]: Unknown sort algorithm (merge, radix, heap)")
         elif name == "batch":
             mo.mini_batch_size = _parse_num(arg)
+        elif name == "G":
+            mo.max_gap_ref = _parse_num(arg)
+        elif name == "frag":
+            # frag mode (main.c:330): changes the seed cap + R2 revcomp
+            from gdiet_tpu.config import MM_F_FRAG_MODE
+
+            if arg in ("yes", "y", None):
+                mo.flag |= MM_F_FRAG_MODE
+            elif arg in ("no", "n"):
+                mo.flag &= ~MM_F_FRAG_MODE
+        elif name == "print-seeds":
+            # stage-trace oracle (main.c:289-298): force single-read oracle
+            # mapping and dump per-stage intermediates to stderr
+            from gdiet_tpu import debug
+
+            debug.set_print_seed(True)
+            n_threads = 1
         else:
-            # accepted-for-parity options with no GDiet-hot-path semantics
-            pass
+            # parsed-for-compatibility options whose semantics are dead in
+            # the GDiet hot path; warn so silent drops are visible
+            if verbose >= 2:
+                print(f"[WARNING]\x1b[1;31m option '{'--' if len(name) > 1 else '-'}{name}"
+                      f" is accepted but has no effect in gdiet_tpu\x1b[0m",
+                      file=sys.stderr)
 
     if io.pattern_len < 2:
         io.pattern_len = mo.pattern_len = 2

@@ -80,6 +80,11 @@ class DietIndex:
 
     def getseq(self, rid: int, st: int, en: int, rev: bool = False) -> np.ndarray:
         """mm_idx_getseq2 (host side)."""
+        if len(self.codes) == 0 and int(self.lengths.sum()) > 0:
+            raise ValueError(
+                "index was built with --idx-no-seq (MM_I_NO_SEQ): reference "
+                "bases are unavailable; alignment/cs/MD need a full index"
+            )
         off = int(self.seq_offsets[rid])
         ln = int(self.lengths[rid])
         en = min(en, ln)
@@ -180,6 +185,16 @@ class DietIndex:
             return json.loads(str(z["meta"])).get("magic") == DietIndex.MAGIC
         except Exception:
             return False
+
+
+def lookup_vals(starts) -> np.ndarray:
+    """Packed per-key (start << 24 | count) lookup values: the device CSR
+    probe then needs ONE value gather instead of two starts gathers.
+    Counts saturate at 2^24-1 — far above any usable mid_occ, and saturated
+    keys are dropped by the occurrence filter anyway (seed.c:66)."""
+    s = np.asarray(starts, np.uint64)
+    cnt = np.minimum(s[1:] - s[:-1], 0xFFFFFF).astype(np.uint64)
+    return (s[:-1] << np.uint64(24)) | cnt
 
 
 def bucket_table(keys: np.ndarray, k: int, max_bits: int = 22):
@@ -285,7 +300,16 @@ def build_index(
     seqs: list[tuple[str, str]] | dict[str, str],
     io: IndexOptions,
 ) -> DietIndex:
-    """mm_idx_gen analog: sketch every sequence on device, then build CSR."""
+    """mm_idx_gen analog: sketch every sequence on device, then build CSR.
+
+    With MM_I_NO_SEQ (--idx-no-seq, index.c:339-349) the reference skips
+    storing the packed sequence — the containment-search workloads' 723x
+    space story depends on it; here ``codes`` stays empty and alignment-
+    stage features (window gathers, cs/MD) are unavailable.
+    """
+    from gdiet_tpu.config import MM_I_NO_SEQ
+
+    no_seq = bool(io.flag & MM_I_NO_SEQ)
     items = list(seqs.items()) if isinstance(seqs, dict) else list(seqs)
     names, lengths, offsets, codes_all = [], [], [], []
     all_keys, all_ys = [], []
@@ -299,7 +323,8 @@ def build_index(
         lengths.append(len(codes))
         offsets.append(off)
         off += len(codes)
-        codes_all.append(codes)
+        if not no_seq:
+            codes_all.append(codes)
         ks, ys = _sketch_sequence(codes, k, w, io.pattern, rid)
         all_keys.append(ks)
         all_ys.append(ys)
@@ -320,4 +345,5 @@ def build_index(
         keys=uniq,
         starts=starts,
         positions=ys,
+        flag=io.flag,
     )

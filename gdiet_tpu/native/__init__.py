@@ -81,7 +81,8 @@ def _build() -> ctypes.CDLL | None:
     ]
     lib.sr_finish_batch.restype = ctypes.c_int64
     lib.sr_finish_batch.argtypes = (
-        [ctypes.POINTER(ctypes.c_uint8)] + [ctypes.c_int64] * 4
+        [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
+        + [ctypes.c_int64] * 4
         + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
         + [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)] * 3
         + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
@@ -257,7 +258,8 @@ def _blob(strs: list[str]) -> tuple[bytes, np.ndarray]:
 
 
 def sr_finish_batch(
-    packed: np.ndarray,  # [B, stride] uint8 (fused step output, on host)
+    meta: np.ndarray,  # [B, F] int32 (fused step meta, on host)
+    ops: np.ndarray,  # [N2, OB] uint8 compacted 2-bit op streams
     K: int,
     Lmax: int,
     codes: np.ndarray,  # [B, Lmax] uint8
@@ -278,8 +280,9 @@ def sr_finish_batch(
     when the native library is unavailable."""
     if lib is None:
         return None
-    B, stride = packed.shape
-    packed = np.ascontiguousarray(packed)
+    B = meta.shape[0]
+    meta = np.ascontiguousarray(meta, np.int32)
+    ops = np.ascontiguousarray(ops, np.uint8)
     codes = np.ascontiguousarray(codes, np.uint8)
     lens = np.ascontiguousarray(lens, np.int64)
     nblob, noffs = _blob(names)
@@ -293,7 +296,8 @@ def sr_finish_batch(
         rec_offs = np.zeros(B + 1, np.int64)
         done = np.zeros(B, np.uint8)
         rc = lib.sr_finish_batch(
-            _ptr(packed, ctypes.c_uint8), stride, B, K, Lmax,
+            _ptr(meta, ctypes.c_int32), _ptr(ops, ctypes.c_uint8),
+            ops.shape[1], B, K, Lmax,
             _ptr(codes, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
             nblob, _ptr(noffs, ctypes.c_int64),
             sblob, _ptr(soffs, ctypes.c_int64),

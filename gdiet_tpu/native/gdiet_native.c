@@ -57,13 +57,13 @@ int rle_ops(const uint8_t *ops, int64_t n, int64_t smax,
         uint32_t *dst = out + r * max_runs;
         int64_t m = 0; /* runs collected (back-to-front) */
         if (lens[r] > 0) {
-            int64_t j = 0;
-            while (j < smax && row[j] < 3) {
+            /* >=3 entries are holes/padding — skip, merging runs across */
+            for (int64_t j = 0; j < smax; j++) {
                 uint8_t op = row[j];
-                int64_t len = 0;
-                while (j < smax && row[j] == op) { len++; j++; }
-                if (m < max_runs) dst[m] = ((uint32_t)len << 4) | op;
-                m++;
+                if (op >= 3) continue;
+                if (m > 0 && m <= max_runs && (dst[m - 1] & 0xf) == op)
+                    dst[m - 1] += 1u << 4;
+                else { if (m < max_runs) dst[m] = (1u << 4) | op; m++; }
             }
             if (fin_i[r] >= 0) { /* leading deletion leftover */
                 if (m > 0 && m <= max_runs && (dst[m - 1] & 0xf) == 2)
@@ -418,18 +418,17 @@ static void srf_set_sam_params(srf_reg_t **regs, int64_t n, int64_t qlen,
  * Returns run count, or -1 on overflow. */
 static int64_t srf_rle(const uint8_t *opbytes, int64_t nbytes,
                        int32_t fin_i, int32_t fin_j, uint32_t *dst) {
-    int64_t m = 0, j = 0, total = nbytes * 4;
-    while (j < total) {
+    /* 3 entries are holes (idle backtrack iterations) — skip them and
+     * merge runs across them */
+    int64_t m = 0, total = nbytes * 4;
+    for (int64_t j = 0; j < total; j++) {
         int op = (opbytes[j >> 2] >> ((j & 3) * 2)) & 3;
-        if (op == 3) break;
-        int64_t len = 0;
-        while (j < total) {
-            int o2 = (opbytes[j >> 2] >> ((j & 3) * 2)) & 3;
-            if (o2 != op) break;
-            len++; j++;
+        if (op == 3) continue;
+        if (m > 0 && (int)(dst[m - 1] & 0xf) == op) dst[m - 1] += 1u << 4;
+        else {
+            if (m >= SRF_MAX_CIG) return -1;
+            dst[m++] = (1u << 4) | (uint32_t)op;
         }
-        if (m >= SRF_MAX_CIG) return -1;
-        dst[m++] = ((uint32_t)len << 4) | (uint32_t)op;
     }
     if (fin_i >= 0) {
         if (m > 0 && (dst[m - 1] & 0xf) == 2) dst[m - 1] += ((uint32_t)(fin_i + 1)) << 4;
@@ -597,7 +596,8 @@ static char *srf_write_sam(char *p, const srf_reg_t *r,
  * marks reads the caller must finish via the oracle (fallback flag, cigar
  * overflow). Returns total bytes used, or -1 if out_cap was too small. */
 int64_t sr_finish_batch(
-    const uint8_t *packed, int64_t stride, int64_t B, int64_t K, int64_t Lmax,
+    const int32_t *meta_arr, const uint8_t *ops_buf, int64_t ops_stride,
+    int64_t B, int64_t K, int64_t Lmax,
     const uint8_t *codes, const int64_t *lens,
     const char *names_blob, const int64_t *name_offs,
     const char *seq_blob, const int64_t *seq_offs,
@@ -609,8 +609,7 @@ int64_t sr_finish_batch(
     int64_t softclip, int64_t rep_len,
     char *out_buf, int64_t out_cap,
     int64_t *rec_offs, uint8_t *done) {
-    const int64_t F = 3 + 13 * K;
-    const int64_t ops_nbytes = (2 * Lmax) / 4;
+    const int64_t F = 3 + 14 * K;
     char *p = out_buf;
     char *end = out_buf + out_cap;
     srf_reg_t *regs = (srf_reg_t *)__builtin_malloc(
@@ -620,8 +619,7 @@ int64_t sr_finish_batch(
     if (!regs) return -1;
     for (int64_t i = 0; i < B; i++) {
         rec_offs[i] = p - out_buf;
-        const int32_t *meta = (const int32_t *)(packed + i * stride);
-        const uint8_t *ops = packed + i * stride + F * 4;
+        const int32_t *meta = meta_arr + i * F;
         if (meta[2]) { done[i] = 0; continue; }   /* device fallback */
         done[i] = 1;
         int64_t qlen = lens[i];
@@ -655,10 +653,17 @@ int64_t sr_finish_batch(
                 r->n_cig = 1;
             } else {
                 int32_t fin_i = meta[3 + 11 * K + c], fin_j = meta[3 + 12 * K + c];
-                int64_t m = srf_rle(ops + c * ops_nbytes, ops_nbytes,
-                                    fin_i, fin_j, r->cig);
-                if (m < 0) { failed = 1; break; }
-                r->n_cig = m;
+                int32_t oprow = meta[3 + 13 * K + c];
+                if (oprow == -2) {          /* substitution-only: all-M */
+                    r->cig[0] = ((uint32_t)length << 4);
+                    r->n_cig = 1;
+                } else if (oprow < 0) { failed = 1; break; }
+                else {
+                    int64_t m = srf_rle(ops_buf + oprow * ops_stride,
+                                        ops_stride, fin_i, fin_j, r->cig);
+                    if (m < 0) { failed = 1; break; }
+                    r->n_cig = m;
+                }
                 int64_t wl = eo - so + 1, tl = te - ts + 1;
                 if (wl > (int64_t)sizeof(qwin) || tl > (int64_t)sizeof(twin)) {
                     failed = 1; break;

@@ -274,14 +274,14 @@ def sketch_emit(
         drop = (t == dlen) & (l_last == jnp.int64(w + k - 1))
         emitted = emitted & ~drop
 
-    # stable order by (emission time, position): a 2-key i32 sort carrying
-    # x/y avoids both the i64 argsort and the gather pair
+    # stable order by (emission time, position), packed into ONE i32 key
+    # (t <= 2D+4 and i < D, so t*(D+1)+i fits easily): a 1-key 3-operand
+    # sort is ~25% cheaper than the 2-key 4-operand one
     INF32 = jnp.int32(0x7FFFFFFF)
-    t32 = jnp.where(emitted, t, INF32).astype(jnp.int32)
-    i32 = jnp.broadcast_to(idx, (B, D)).astype(jnp.int32)
-    _, _, xs, ys = jax.lax.sort(
-        [t32, i32, x, res["y"]], dimension=1, num_keys=2
-    )
+    key = jnp.where(
+        emitted, t * jnp.int64(D + 1) + idx, INF32
+    ).astype(jnp.int32)
+    _, xs, ys = jax.lax.sort([key, x, res["y"]], dimension=1, num_keys=1)
     xs = xs[:, :max_out]
     ys = ys[:, :max_out]
     nvalid = emitted.sum(axis=-1)

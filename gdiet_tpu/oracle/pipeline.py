@@ -22,6 +22,11 @@ from gdiet_tpu.oracle.index import OracleIndex
 U32 = (1 << 32) - 1
 
 
+def _i32(v: int) -> int:
+    v &= U32
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 def map_read(
     mi: OracleIndex,
     seq: str,
@@ -36,7 +41,9 @@ def map_read(
     codes = osk.seq_to_code(seq)
 
     # ---- phase 1: pattern alignment (shift inference), map.c:607-616 ----
-    seeds2, counts = osk.sketch_shifts(codes, mi.w, mi.k, mo.pattern, mo.max_seeds)
+    seeds2, counts = osk.sketch_shifts(
+        codes, mi.w, mi.k, mo.pattern, mo.max_seeds, seq=seq
+    )
     shift = osd.get_shift(mi, seeds2, counts)
 
     # ---- phase 2: seeding, map.c:620-662 ----
@@ -63,6 +70,21 @@ def map_read(
     n_mv = len(mv)
     m = osd.collect_matches(mi, mv, qlen, mid_occ, mo.max_max_occ, mo.occ_dist)
     tf, qf, tr, qr = osd.collect_seed_hits(m, tmp_extracted_len)
+    from gdiet_tpu import debug
+
+    if debug.enabled():  # map.c:651-661
+        debug.trace(f"RS n_a_for: {len(tf)}, n_a_rev: {len(tr)}\n")
+        for t, q in zip(tf, qf):
+            debug.trace(
+                "SD\t{}\t{}\t+\t{}\n".format(
+                    mi.names[int(t) >> 32],
+                    _i32(int(t) & U32) + 1 - tmp_extracted_len, int(q))
+            )
+        for t, q in zip(tr, qr):
+            debug.trace(
+                "SD\t{}\t{}\t-\t{}\n".format(
+                    mi.names[int(t) >> 32], _i32((int(t) & U32) + 1), int(q))
+            )
 
     # ---- phase 3: voting, map.c:663-699 ----
     capped = (mo.flag & MM_F_FRAG_MODE) and tmp_extracted_len < qlen
@@ -80,6 +102,18 @@ def map_read(
              vt_threshold, mo.AF_max_loc, vt_rec_threshold)
     ovt.vote(tr, qr, 1, potentials, bw, 0, tmp_extracted_len, recovery,
              vt_threshold, mo.AF_max_loc, vt_rec_threshold)
+    if debug.enabled():  # map.c:705-719
+        debug.trace(f"VT n: {len(potentials)}, len: {qlen}\n")
+        for cand in potentials:
+            pos = cand.target_loc + 1
+            if cand.strand:
+                pos -= qlen - 1
+            debug.trace(
+                "VT\t{} (len: {})\t{}\t{}\t[{}, {}]\t{}\n".format(
+                    mi.names[cand.chrom_id], mi.lengths[cand.chrom_id], pos,
+                    "+-"[cand.strand], cand.first_query_loc,
+                    cand.last_query_loc, cand.score)
+            )
     if not potentials:
         if not recovery:
             return []
@@ -102,6 +136,8 @@ def map_read(
 
         if qlen > 300:  # map.c:777-804
             if cand.first_query_loc == cand.last_query_loc:
+                if debug.enabled():
+                    debug.trace("SKIPPED")  # map.c:780 (no newline)
                 continue
             start_offset = cand.first_query_loc - (mi.k - 1)
             end_offset = cand.last_query_loc
@@ -151,14 +187,33 @@ def map_read(
             continue
         qs = qs[:length]
         ts = mi.getseq(target_id, target_start, target_end + 1)
+        if debug.enabled():  # map.c:842-857
+            if strand:
+                debug.trace("Read: str: -, [{}, {}]\n".format(
+                    qlen - 1 - end_offset, qlen - 1 - start_offset))
+            else:
+                debug.trace("Read: str: +, [{}, {}]\n".format(
+                    start_offset, end_offset))
+            debug.trace("".join("ACGTN"[min(int(b), 4)] for b in qs))
+            debug.trace("\nRef: {} [{}, {}]\n".format(
+                mi.names[target_id], target_start, target_end))
+            debug.trace("".join("ACGTN"[min(int(b), 4)] for b in ts))
+            debug.trace("\n")
 
         # exact-match pre-filter (map.c:869-915; exact_match_sse.c:23-92)
         exact = qlen < 300 and len(qs) == len(ts) and bool(np.all(qs == ts))
         if exact:
+            if debug.enabled():  # map.c:887-912
+                debug.trace("Query: "
+                            + "".join("ACGTN"[min(int(b), 4)] for b in qs))
+                debug.trace("\nTarget: "
+                            + "".join("ACGTN"[min(int(b), 4)] for b in ts))
             ez = oal.ExtzResult()
             ez.score = qlen * mo.a
             ez.cigar = [(length, oal.CIGAR_MATCH)]
             ez.n_cigar = 1
+            if debug.enabled():
+                debug.trace("\nCigar: {}{}\n".format(length, "M"))
         else:
             ez = oal.extd2(
                 qs, ts, mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2,

@@ -130,6 +130,8 @@ def collect_matches(
 def get_shift(mi: OracleIndex, seeds: list[tuple[int, int]], counts: list[int]) -> int:
     """mm_get_shift (seed.c:166-194): argmax over shifts of total index hit
     counts of that shift's probe seeds; strict improvement keeps earlier."""
+    from gdiet_tpu import debug
+
     shift = 0
     max_hits = 0
     base = 0
@@ -137,10 +139,20 @@ def get_shift(mi: OracleIndex, seeds: list[tuple[int, int]], counts: list[int]) 
         cur = 0
         for kk in range(cnt):
             x, _ = seeds[base + kk]
-            cur += len(mi.get(x >> 8))
+            t = len(mi.get(x >> 8))
+            cur += t
+            if debug.enabled():  # seed.c:176-179
+                debug.trace(
+                    f"mm_get_shift: sketch2's {kk} seed exists {t} time(s),"
+                    f" shift {i}\n"
+                )
+        if debug.enabled():  # seed.c:181-183
+            debug.trace(f"mm_get_shift: Shift {i}, nb_locs {cur}\n")
         if cur > max_hits:
             shift, max_hits = i, cur
         base += cnt
+    if debug.enabled():  # seed.c:189-191
+        debug.trace(f"Final shift: {shift}\n")
     return shift
 
 

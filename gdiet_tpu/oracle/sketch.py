@@ -201,7 +201,8 @@ def sketch_index(codes: np.ndarray, w: int, k: int, rid: int, pattern: str) -> l
 
 
 def sketch_shifts(
-    codes: np.ndarray, w: int, k: int, pattern: str, max_seeds: float
+    codes: np.ndarray, w: int, k: int, pattern: str, max_seeds: float,
+    seq: str | None = None,
 ) -> tuple[list[tuple[int, int]], list[int]]:
     """mm_sketch2 (sketch.c:2143-2225): probe seeds for every pattern shift.
 
@@ -219,8 +220,19 @@ def sketch_shifts(
     else:
         len_crop = length
         cap = int(max_seeds)
+    from gdiet_tpu import debug
+
+    if debug.enabled():  # sketch.c:2160
+        txt = seq if seq is not None else "".join("ACGTN"[min(c, 4)] for c in codes)
+        debug.trace(f"Read before pattern  : {txt}\n")
     for shift in range(W):
         gather = _gather_for(len_crop, pattern, shift)
+        if debug.enabled():  # sketch.c:2195-2214
+            txt = seq if seq is not None else "".join("ACGTN"[min(c, 4)] for c in codes)
+            debug.trace(
+                f"Read after pattern({shift}) (len: {len(gather)}):\n"
+                + "".join(txt[i] for i in gather) + "\n"
+            )
         _, pushed, _ = _windowed_min_scan(
             codes,
             gather,
@@ -249,6 +261,13 @@ def sketch_query(
     shift = max(shift, 0)
     out: list[tuple[int, int]] = []
     gather = _gather_for(length, pattern, shift)
+    from gdiet_tpu import debug
+
+    if debug.enabled():  # sketch.c:1950-1961
+        debug.trace(
+            "New Read:\n"
+            + "".join("ACGTN"[min(int(codes[i]), 4)] for i in gather) + "\n"
+        )
     if len(gather) == 0:
         return out, length
     capped, _, last_y = _windowed_min_scan(

@@ -106,6 +106,13 @@ def vote(
             if cur_q > last_q:
                 last_q = cur_q
         else:
+            from gdiet_tpu import debug
+
+            if debug.enabled():  # map.c:480-482
+                debug.trace(
+                    f"counter: {counter}, {_to_i32(target_loc & U32)},"
+                    f" {vt_threshold}, {vt_distance}\n"
+                )
             if counter > vt_threshold:
                 if not emit(target_loc, first_q, last_q, counter):
                     target_loc, first_q, last_q, counter = cur_t, cur_q, cur_q, 1

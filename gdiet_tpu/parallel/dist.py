@@ -26,7 +26,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gdiet_tpu.index.build import DietIndex
+from gdiet_tpu.index.build import DietIndex, lookup_vals
 from gdiet_tpu.pipeline.device_step import StepConfig, _pattern_tables, fused_map_step
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -122,6 +122,7 @@ def sharded_step(
     cfg: StepConfig,
     maps: np.ndarray,
     pref: np.ndarray,
+    backtrack: bool = True,
 ):
     """Build the jitted multi-chip mapping step over ``mesh``.
 
@@ -135,7 +136,9 @@ def sharded_step(
     cfg = dc_replace(cfg, bucket_shift=sh.bucket_shift, bucket_iters=sh.bucket_iters)
     arrays = dict(
         idx_keys=jnp.asarray(sh.keys),
-        idx_starts=jnp.asarray(sh.starts),
+        idx_vals=jnp.asarray(
+            np.stack([lookup_vals(sh.starts[i]) for i in range(n_ref)])
+        ),
         idx_positions=jnp.asarray(sh.positions),
         idx_buckets=jnp.asarray(sh.buckets),
         ref_codes=jnp.asarray(index.codes),
@@ -145,13 +148,13 @@ def sharded_step(
         pref=jnp.asarray(pref),
     )
 
-    def local(codes, lens, idx_keys, idx_starts, idx_positions, idx_buckets,
+    def local(codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
               ref_codes, ref_offsets, ref_lengths, maps_, pref_):
         return fused_map_step(
             codes, lens,
-            idx_keys[0], idx_starts[0], idx_positions[0], idx_buckets[0],
+            idx_keys[0], idx_vals[0], idx_positions[0], idx_buckets[0],
             ref_codes, ref_offsets, ref_lengths, maps_, pref_,
-            cfg=cfg, ref_axis="ref", n_ref=n_ref, backtrack=False,
+            cfg=cfg, ref_axis="ref", n_ref=n_ref, backtrack=backtrack,
         )
 
     shard_fn = shard_map(
@@ -162,7 +165,9 @@ def sharded_step(
             P("ref"), P("ref"), P("ref"), P("ref"),
             P(), P(), P(), P(), P(),
         ),
-        out_specs=P("data"),
+        # meta rows and compacted op streams are both data-parallel; the
+        # ref axis is fully reduced by the psum/all_gather merge inside
+        out_specs={"meta": P("data"), "ops": P("data")},
         check_vma=False,
     )
 
@@ -170,7 +175,7 @@ def sharded_step(
     def step(codes, lens):
         return shard_fn(
             codes, lens,
-            arrays["idx_keys"], arrays["idx_starts"], arrays["idx_positions"],
+            arrays["idx_keys"], arrays["idx_vals"], arrays["idx_positions"],
             arrays["idx_buckets"],
             arrays["ref_codes"], arrays["ref_offsets"], arrays["ref_lengths"],
             arrays["maps"], arrays["pref"],
@@ -181,8 +186,11 @@ def sharded_step(
 
 def build_sharded_mapper(index: DietIndex, mo, mesh: Mesh,
                          Lmax: int = 256, S: int = 160, S2: int = 64,
-                         A: int = 1024):
+                         A: int = 1024, dp_frac: float = 1.0,
+                         backtrack: bool = True):
     """Convenience: StepConfig + pattern tables + sharded step for (index, mo)."""
+    from dataclasses import replace as dc_replace
+
     from gdiet_tpu import pattern as pat
 
     mid_occ = index.derive_mid_occ(mo)
@@ -190,5 +198,38 @@ def build_sharded_mapper(index: DietIndex, mo, mesh: Mesh,
     cfg = StepConfig.from_options(
         index, mo, mid_occ, Lmax, min(S, dmax), min(S2, dmax), A
     )
+    cfg = dc_replace(cfg, dp_frac=dp_frac)
+    if jax.default_backend() == "tpu":
+        cfg = dc_replace(cfg, dp_impl="pallas")
     maps, pref, _ = _pattern_tables(cfg)
-    return cfg, sharded_step(mesh, index, cfg, maps, pref)
+    return cfg, sharded_step(mesh, index, cfg, maps, pref, backtrack)
+
+
+class ShardedFused:
+    """Drop-in replacement for pipeline.device_step.FusedMapper running the
+    fused step under shard_map on a (data, ref) mesh: reads data-parallel,
+    CSR index key-range-sharded, cross-shard hit merge on device (the
+    end-to-end analog of the reference's split-index merge_hits,
+    map.c:1094-1163 + splitidx.c).
+
+    The returned ops tensor concatenates each data shard's compacted rows;
+    ``opsrow_offsets(B)`` gives the host-side base row per data shard so
+    opsrow indices can be globalized before the native finish.
+    """
+
+    def __init__(self, index: DietIndex, mo, mesh: Mesh, Lmax: int = 256,
+                 S: int = 160, S2: int = 64, A: int = 1024,
+                 dp_frac: float = 1.0):
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.cfg, self._step = build_sharded_mapper(
+            index, mo, mesh, Lmax=Lmax, S=S, S2=S2, A=A, dp_frac=dp_frac,
+        )
+
+    def n2_local(self, B: int) -> int:
+        from gdiet_tpu.pipeline.device_step import dp_rows
+
+        return dp_rows((B // self.n_data) * self.cfg.K, self.cfg.dp_frac)
+
+    def __call__(self, codes, lens):
+        return self._step(codes, lens)

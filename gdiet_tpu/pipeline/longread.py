@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gdiet_tpu.config import MM_F_NO_PRINT_2ND, MM_F_SR, MapOptions
-from gdiet_tpu.index.build import DietIndex, bucket_table
+from gdiet_tpu.index.build import DietIndex, bucket_table, lookup_vals
 from gdiet_tpu.io.fastx import SeqRecord
 from gdiet_tpu.oracle import align as oal
 from gdiet_tpu.oracle import longread as olr
@@ -74,7 +74,7 @@ class LongReadMapper:
         maps, pref, _ = ds._pattern_tables(cfg)
         self.arrays = dict(
             idx_keys=jnp.asarray(index.keys),
-            idx_starts=jnp.asarray(index.starts),
+            idx_vals=jnp.asarray(lookup_vals(index.starts)),
             idx_positions=jnp.asarray(index.positions),
             idx_buckets=jnp.asarray(tbl),
             maps=jnp.asarray(maps),
@@ -138,9 +138,12 @@ class LongReadMapper:
         B = len(reads)
         results: list[list[oal.Reg] | None] = [None] * B
         lens = np.array([r.l_seq for r in reads], np.int64)
+        from gdiet_tpu import debug
+
         host_only = (
             np.ones(B, bool)
-            if (not self.device_enabled or self.mo.sdust_thres > 0)
+            if (not self.device_enabled or self.mo.sdust_thres > 0
+                or debug.enabled())
             else (lens > self.Lmax) | (lens == 0)
         )
         device_idx = np.where(~host_only)[0]
@@ -198,7 +201,7 @@ class LongReadMapper:
         vt_dis = np.full(B, mo.vt_dis, np.uint64)
         out = self._front(
             jnp.asarray(codes), jnp.asarray(lens_np.astype(np.int64)),
-            self.arrays["idx_keys"], self.arrays["idx_starts"],
+            self.arrays["idx_keys"], self.arrays["idx_vals"],
             self.arrays["idx_positions"], self.arrays["idx_buckets"],
             self.arrays["maps"], self.arrays["pref"],
             jnp.asarray(cov_thr), jnp.asarray(vt_dis),

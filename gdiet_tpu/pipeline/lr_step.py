@@ -281,7 +281,7 @@ def _lr_filters_device(vt, lens, cov_thr, k, vt_df1, vt_f, bw, K):
 
 def lr_front(
     codes, lens,
-    idx_keys, idx_starts, idx_positions, idx_buckets,
+    idx_keys, idx_vals, idx_positions, idx_buckets,
     maps, pref,
     cov_thr,  # [B] i32
     vt_dis,  # [B] u64 (opt.vt_dis)
@@ -297,7 +297,7 @@ def lr_front(
     B = codes.shape[0]
     (fallback, shift, extracted, mv_n, capped,
      fk, fq, fok, rk, rq, rok, A_stream) = collect_hits(
-        codes, lens, idx_keys, idx_starts, idx_positions, idx_buckets,
+        codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
         maps, pref, cfg,
     )
     barrier = jnp.full((B, 1), U64_MAX, jnp.uint64)

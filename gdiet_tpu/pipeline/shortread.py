@@ -29,7 +29,7 @@ from gdiet_tpu.oracle import sketch as osk
 from gdiet_tpu.oracle.pipeline import map_read, set_sam_params
 from gdiet_tpu import native
 from gdiet_tpu.ops import dp as dpk
-from gdiet_tpu.pipeline.device_step import FusedMapper, split_packed, unpack_ops
+from gdiet_tpu.pipeline.device_step import FusedMapper, unpack_outputs, unpack_ops
 
 U32 = 0xFFFFFFFF
 
@@ -51,15 +51,28 @@ class ShortReadMapper:
         seed_budget: int = 160,
         shift_seed_budget: int = 64,
         hit_budget: int = 2048,
+        dp_frac: float = 0.5,
+        mesh=None,
     ):
         self.mi = index
         self.mo = mo
         self.mid_occ = index.derive_mid_occ(mo)
         self.Lmax = max_read_len
-        self.fused = FusedMapper(
-            index, mo, Lmax=max_read_len, S=seed_budget,
-            S2=shift_seed_budget, A=hit_budget,
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip: data-parallel reads x key-range-sharded index with
+            # on-device hit merge (parallel/dist.py), same host finish
+            from gdiet_tpu.parallel.dist import ShardedFused
+
+            self.fused = ShardedFused(
+                index, mo, mesh, Lmax=max_read_len, S=seed_budget,
+                S2=shift_seed_budget, A=hit_budget, dp_frac=dp_frac,
+            )
+        else:
+            self.fused = FusedMapper(
+                index, mo, Lmax=max_read_len, S=seed_budget,
+                S2=shift_seed_budget, A=hit_budget, dp_frac=dp_frac,
+            )
         self._oracle_index = None
 
     # ------------------------------------------------------------------
@@ -112,6 +125,12 @@ class ShortReadMapper:
             for i, r in enumerate(reads):
                 codes[i, : r.l_seq] = osk.seq_to_code(r.seq)[: self.Lmax]
         host_only = lens > min(300, self.Lmax)
+        from gdiet_tpu import debug
+
+        if debug.enabled():
+            # --print-seeds: the stage-trace printfs live in the scalar
+            # oracle (the reference forces 1 thread, main.c:290)
+            host_only[:] = True
         if self.mo.sdust_thres > 0:
             # SDUST masking is host-side (ops/sdust.py); route through the
             # exact oracle rather than approximating on device
@@ -119,13 +138,20 @@ class ShortReadMapper:
         device_idx = np.where(~host_only)[0]
         dev = None
         if len(device_idx):
+            dc, dl = codes[device_idx], lens[device_idx]
+            if self.mesh is not None:  # pad to the data-axis multiple
+                pad = (-len(device_idx)) % self.fused.n_data
+                if pad:
+                    dc = np.concatenate(
+                        [dc, np.full((pad, self.Lmax), 255, np.uint8)]
+                    )
+                    dl = np.concatenate([dl, np.zeros(pad, np.int64)])
             # async dispatch: returns immediately with device futures
-            dev = self.fused(
-                jnp.asarray(codes[device_idx]), jnp.asarray(lens[device_idx])
-            )
-            # start the device->host copy early so it overlaps the next
+            dev = self.fused(jnp.asarray(dc), jnp.asarray(dl))
+            # start the device->host copies early so they overlap the next
             # batch's device compute and this batch's host finish
-            dev["packed"].copy_to_host_async()
+            dev["meta"].copy_to_host_async()
+            dev["ops"].copy_to_host_async()
         return reads, codes, lens, host_only, device_idx, dev
 
     def _finish(self, state) -> list[list[oal.Reg]]:
@@ -200,10 +226,11 @@ class ShortReadMapper:
         spans: list = [None] * B
         buf = b""
         if dev is not None:
-            packed_np = np.asarray(dev["packed"])
+            meta_np = self._meta_host(dev, len(device_idx))
+            ops_np = np.asarray(dev["ops"])
             di = device_idx
             res = native.sr_finish_batch(
-                packed_np, self.fused.cfg.K, self.fused.cfg.Lmax,
+                meta_np, ops_np, self.fused.cfg.K, self.fused.cfg.Lmax,
                 codes[di], lens[di],
                 [reads[i].name for i in di],
                 [reads[i].seq for i in di],
@@ -268,6 +295,25 @@ class ShortReadMapper:
             ))
         return ("\n".join(lines) + "\n").encode()
 
+    def _meta_host(self, dev, n_rows: int) -> np.ndarray:
+        """Fetch the meta tensor; under a mesh, globalize each data shard's
+        LOCAL opsrow indices into the concatenated ops tensor and drop the
+        data-axis padding rows."""
+        meta = np.asarray(dev["meta"])
+        if self.mesh is None:
+            return meta
+        meta = meta.copy()
+        K = self.fused.cfg.K
+        nd = self.fused.n_data
+        Bp = meta.shape[0]
+        n2 = self.fused.n2_local(Bp)
+        bl = Bp // nd
+        cols = slice(3 + 13 * K, 3 + 14 * K)
+        for d in range(1, nd):
+            blk = meta[d * bl : (d + 1) * bl, cols]
+            blk[blk >= 0] += d * n2
+        return meta[:n_rows]
+
     @property
     def _ref_names_blob(self):
         if getattr(self, "_rn_blob", None) is None:
@@ -292,14 +338,16 @@ class ShortReadMapper:
         mo, mi = self.mo, self.mi
         B = len(lens_np)
         K = self.fused.cfg.K
-        out, ops = split_packed(np.asarray(dev["packed"]), K, self.fused.cfg.Lmax)
+        out = unpack_outputs(self._meta_host(dev, B), K)
+        ops2 = np.asarray(dev["ops"])
 
         fallback = out["fallback"]
         live = out["c_valid"] & ~fallback[:, None]
-        need = np.where((live & ~out["exact"]).reshape(-1))[0]
+        rows = out["opsrow"].reshape(-1)
+        need = np.where((live & ~out["exact"]).reshape(-1) & (rows >= 0))[0]
         cigs_by_n: dict[int, list] = {}
         if len(need):
-            op_rows = unpack_ops(ops.reshape(B * K, -1)[need])
+            op_rows = unpack_ops(ops2[rows[need]])
             fin_i = out["fin_i"].reshape(-1)[need]
             fin_j = out["fin_j"].reshape(-1)[need]
             lens_n = out["length"].reshape(-1)[need]
@@ -344,7 +392,10 @@ class ShortReadMapper:
                     )
                 else:
                     ez_score = int(out["dp_score"][i, c])
-                    cigar = cigs_by_n.get(n, [])
+                    if out["opsrow"][i, c] == -2:  # substitution-only all-M
+                        cigar = [(length, oal.CIGAR_MATCH)]
+                    else:
+                        cigar = cigs_by_n.get(n, [])
                     r = oal.Reg(
                         rid=chrom, score=ez_score, qs=so, qe=eo + 1,
                         rs=ts, re=te + 1, rev=rev, cigar=list(cigar),

@@ -14,7 +14,7 @@ import __graft_entry__ as ge
 from functools import partial
 from gdiet_tpu.parallel.dist import build_sharded_mapper, make_mesh
 from gdiet_tpu.pipeline.device_step import (
-    FusedMapper, fused_map_step, split_packed,
+    FusedMapper, fused_map_step, unpack_outputs,
 )
 
 
@@ -33,8 +33,8 @@ def test_sharded_matches_single(mesh_shape):
     ref = single(jnp.asarray(codes), jnp.asarray(lens), **mapper.arrays)
 
     K = mapper.cfg.K
-    a, _ = split_packed(np.asarray(out["packed"]), K, mapper.cfg.Lmax)
-    b, _ = split_packed(np.asarray(ref["packed"]), K, mapper.cfg.Lmax)
+    a = unpack_outputs(np.asarray(out["meta"]), K)
+    b = unpack_outputs(np.asarray(ref["meta"]), K)
     for key in ("shift", "extracted", "fallback", "c_valid", "c_score",
                 "c_strand", "chrom", "so", "eo", "ts", "te", "dp_score"):
         x, y = a[key], b[key]
