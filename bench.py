@@ -146,7 +146,7 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
     Lmax = 160
     mapper = ShortReadMapper(
         mi, mo, max_read_len=Lmax, seed_budget=32, shift_seed_budget=16,
-        hit_budget=128, dp_frac=0.375,
+        hit_budget=64, dp_frac=0.3125,
     )
 
     # warmup / compile

@@ -45,3 +45,66 @@ def test_sharded_matches_single(mesh_shape):
 
 def test_dryrun_entry_points():
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def _mk_reads(codes, lens):
+    from gdiet_tpu.io.fastx import SeqRecord
+
+    bases = "ACGTN"
+    return [
+        SeqRecord(f"m{i}", "".join(bases[c] for c in codes[i, : lens[i]]))
+        for i in range(len(lens))
+    ]
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (2, 2)])
+def test_sharded_sam_parity(mesh_shape):
+    """End-to-end multi-chip mapping produces byte-identical SAM records to
+    the single-device mapper (the mesh analog of merge_hits parity,
+    map.c:1094-1163)."""
+    from gdiet_tpu.parallel.dist import make_mesh
+    from gdiet_tpu.pipeline.shortread import ShortReadMapper
+
+    n_data, n_ref = mesh_shape
+    if len(jax.devices()) < n_data * n_ref:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_data, n_ref)
+    mi, mo, codes, lens, lmax = ge._tiny_problem(n_reads=16, lmax=128)
+    reads = _mk_reads(codes, lens)
+
+    sharded = ShortReadMapper(mi, mo, max_read_len=lmax, seed_budget=64,
+                              shift_seed_budget=32, hit_budget=256, mesh=mesh)
+    single = ShortReadMapper(mi, mo, max_read_len=lmax, seed_budget=64,
+                             shift_seed_budget=32, hit_budget=256)
+    sam_m = b"".join(sharded.map_stream_sam(iter([reads])))
+    sam_1 = b"".join(single.map_stream_sam(iter([reads])))
+    assert sam_m == sam_1
+    assert sam_m.count(b"\n") >= len(reads)
+
+
+def test_weak_scaling_virtual_mesh():
+    """Weak-scaling stand-in for the >=0.8x-linear multi-host target: on the
+    virtual CPU mesh real speedup is unmeasurable, so assert that the
+    sharded step handles proportionally larger read batches at every mesh
+    width and record per-width wall times (informational)."""
+    import time
+
+    from gdiet_tpu.parallel.dist import make_mesh
+    from gdiet_tpu.pipeline.shortread import ShortReadMapper
+
+    mi, mo, codes, lens, lmax = ge._tiny_problem(n_reads=16, lmax=128)
+    times = {}
+    for n_data in (1, 2, 4, 8):
+        if len(jax.devices()) < n_data:
+            pytest.skip("not enough devices")
+        mesh = make_mesh(n_data, 1)
+        reads = _mk_reads(codes, lens) * n_data  # weak scaling: B ~ n_data
+        mapper = ShortReadMapper(mi, mo, max_read_len=lmax, seed_budget=64,
+                                 shift_seed_budget=32, hit_budget=256,
+                                 mesh=mesh)
+        blobs = list(mapper.map_stream_sam(iter([reads])))  # compile+run
+        t0 = time.perf_counter()
+        blobs = list(mapper.map_stream_sam(iter([reads])))
+        times[n_data] = time.perf_counter() - t0
+        assert b"".join(blobs).count(b"\n") >= len(reads)
+    print(f"weak-scaling wall times (CPU mesh, informational): {times}")
