@@ -69,7 +69,11 @@ def map_read(
         mv = osd.seed_mz_flt(mv, mid_occ, mo.q_occ_frac)
     n_mv = len(mv)
     m = osd.collect_matches(mi, mv, qlen, mid_occ, mo.max_max_occ, mo.occ_dist)
-    tf, qf, tr, qr = osd.collect_seed_hits(m, tmp_extracted_len)
+    from gdiet_tpu.config import MM_F_HEAP_SORT
+
+    tf, qf, tr, qr = osd.collect_seed_hits(
+        m, tmp_extracted_len, heap_sort=bool(mo.flag & MM_F_HEAP_SORT)
+    )
     from gdiet_tpu import debug
 
     if debug.enabled():  # map.c:651-661

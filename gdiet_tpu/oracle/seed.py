@@ -156,36 +156,104 @@ def get_shift(mi: OracleIndex, seeds: list[tuple[int, int]], counts: list[int]) 
     return shift
 
 
+def _ks_heapdown(i: int, n: int, l: list) -> None:
+    """ksort.h ks_heapdown with heap_lt(a,b) = a.x > b.x (map.c:106)."""
+    k = i
+    tmp = l[i]
+    while True:
+        k = (k << 1) + 1
+        if k >= n:
+            break
+        if k != n - 1 and l[k][0] > l[k + 1][0]:
+            k += 1
+        if l[k][0] > tmp[0]:
+            break
+        l[i] = l[k]
+        i = k
+    l[i] = tmp
+
+
+def _heap_merge(runs: list[list[tuple[int, int]]]) -> list[tuple[int, int]]:
+    """heap_sort (map.c:143-180): k-way merge of per-seed sorted runs via a
+    min-heap keyed on target only — equal targets pop in heap-structure
+    order, which the stage traces must reproduce byte-for-byte."""
+    src = [x for run in runs for x in run]
+    if len(src) <= 1 or len(runs) <= 1:
+        return src
+    pos = []
+    acc = 0
+    for r in runs:
+        acc += len(r)
+        pos.append(acc)
+    heap = [(src[0][0], 0, 0)]
+    for i in range(1, len(runs)):
+        heap.append((src[pos[i - 1]][0], i, 0))
+    n = len(heap)
+    for i in range((n >> 1) - 1, -1, -1):
+        _ks_heapdown(i, n, heap)
+    out = []
+    heap_size = n
+    while heap_size > 0:
+        x, unit, off = heap[0]
+        base = 0 if unit == 0 else pos[unit - 1]
+        out.append((x, src[base + off][1]))
+        if base + off < pos[unit] - 1:
+            off += 1
+            heap[0] = (src[base + off][0], unit, off)
+        else:
+            heap[0] = heap[heap_size - 1]
+            heap_size -= 1
+        if heap_size:
+            _ks_heapdown(0, heap_size, heap)
+    return out
+
+
 def collect_seed_hits(
-    m: list[Seed], tmp_extracted_len: int
+    m: list[Seed], tmp_extracted_len: int, heap_sort: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Diagonal projection + sort (map.c:261-431, all three sort variants are
-    order-equivalent for voting — ties share the same target key).
+    """Diagonal projection + sort (map.c:261-431). All three reference sort
+    variants (merge/heap/radix, --sort) are order-equivalent for voting —
+    ties share the target key — but the --print-seeds SD traces expose the
+    tie order, so ``heap_sort`` replicates heap_sort's pop order exactly
+    (merge and radix are both stable and equal the stable argsort).
 
     Returns (targets_fwd, queries_fwd, targets_rev, queries_rev), each sorted
     ascending by target. target = chrom_id << 32 | projected_loc with
     fwd: loc + tmp_extracted_len - qpos, rev: loc + qpos (map.c:294-311).
     """
-    tf, qf, tr, qr = [], [], [], []
+    runs_f: list[list[tuple[int, int]]] = []
+    runs_r: list[list[tuple[int, int]]] = []
     for s in m:
         qpos = (s.q_pos & U32) >> 1
         qstrand = s.q_pos & 1
+        rf: list[tuple[int, int]] = []
+        rr: list[tuple[int, int]] = []
         for r in s.hits.tolist():
             strand = (r & 1) ^ qstrand
             loc = (r & U32) >> 1
             chrom = r >> 32
             if strand:
                 proj = (loc + qpos) & U32
-                tr.append((chrom << 32) | proj)
-                qr.append(qpos)
+                rr.append(((chrom << 32) | proj, qpos))
             else:
                 proj = (loc + tmp_extracted_len - qpos) & U32
-                tf.append((chrom << 32) | proj)
-                qf.append(qpos)
-    tf = np.array(tf, dtype=np.uint64)
-    qf = np.array(qf, dtype=np.uint32)
-    tr = np.array(tr, dtype=np.uint64)
-    qr = np.array(qr, dtype=np.uint32)
+                rf.append(((chrom << 32) | proj, qpos))
+        if rf:
+            runs_f.append(rf)
+        if rr:
+            runs_r.append(rr)
+    if heap_sort:
+        flat_f = _heap_merge(runs_f)
+        flat_r = _heap_merge(runs_r)
+        tf = np.array([x for x, _ in flat_f], dtype=np.uint64)
+        qf = np.array([q for _, q in flat_f], dtype=np.uint32)
+        tr = np.array([x for x, _ in flat_r], dtype=np.uint64)
+        qr = np.array([q for _, q in flat_r], dtype=np.uint32)
+        return tf, qf, tr, qr
+    tf = np.array([x for run in runs_f for x, _ in run], dtype=np.uint64)
+    qf = np.array([q for run in runs_f for _, q in run], dtype=np.uint32)
+    tr = np.array([x for run in runs_r for x, _ in run], dtype=np.uint64)
+    qr = np.array([q for run in runs_r for _, q in run], dtype=np.uint32)
     of = np.argsort(tf, kind="stable")
     orv = np.argsort(tr, kind="stable")
     return tf[of], qf[of], tr[orv], qr[orv]

@@ -14,6 +14,7 @@ import sys
 import time
 
 from gdiet_tpu.config import (
+    MM_F_CIGAR,
     MM_F_NO_PRINT_2ND,
     MM_F_OUT_CG,
     MM_F_OUT_SAM,
@@ -308,6 +309,33 @@ def run_mapping(
             for fb, flat, flip, results in zip(
                 frag_batches, flat_batches, flips, mapper.map_stream(flat_batches)
             ):
+                # proper-pair selection + PE mapq blend on MAPPING-orientation
+                # regs (mm_pair, pe.c:76-177: the s^rev key bit expects the
+                # pe_ori-revcomp'd segment's regs BEFORE the strand flip-back).
+                # The reference's own normal PE path never maps R2 at all —
+                # mm_map_frag reads qlen_sum bytes from seqs[0] (a heap
+                # overread) and never writes regs[1] (map.c:598-744) — so we
+                # deliberately do NOT replicate that undefined behavior: both
+                # ends map independently through the golden-proven single-end
+                # pipeline and are then paired with pe.c's semantics.
+                if mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
+                    from gdiet_tpu.oracle import hit as ohit
+
+                    # the reference's frag_gap is never computed in GDiet;
+                    # bound pairs by the frag-mode fragment budget instead
+                    # (-F / max_frag_len, 800 default — map.c:621-622)
+                    gap = (mo.max_gap_ref if mo.max_gap_ref >= 0
+                           else max(mo.max_gap, mo.max_frag_len or 800))
+                    kk = 0
+                    for frag in fb:
+                        if len(frag) == 2 and results[kk] is not None \
+                                and results[kk + 1] is not None:
+                            ohit.pair(
+                                gap, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
+                                [flat[kk].l_seq, flat[kk + 1].l_seq],
+                                [results[kk], results[kk + 1]],
+                            )
+                        kk += len(frag)
                 for idx in flip:  # flip back to the original read strand
                     qlen = flat[idx].l_seq
                     for r in results[idx] or []:

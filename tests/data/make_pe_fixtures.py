@@ -19,7 +19,7 @@ REF_BIN = pathlib.Path("/tmp/gdiet_ref/SR/GDiet")
 
 GENOME_LEN = 200_000
 N_PAIRS = 300
-READ_LEN = 100
+READ_LEN = 150
 SEED = 20260817
 
 ARGS = ["-a", "-t", "1", "-x", "sr", "-Z", "10", "-W", "2", "-k", "21",
@@ -53,7 +53,7 @@ def main():
     f1 = open(HERE / "reads_pe_1.fq", "w")
     f2 = open(HERE / "reads_pe_2.fq", "w")
     for n in range(N_PAIRS):
-        frag_len = int(rng.integers(250, 600))
+        frag_len = int(rng.integers(320, 700))
         st = int(rng.integers(0, GENOME_LEN - frag_len))
         frag = genome[st : st + frag_len]
         r1 = mutate(frag[:READ_LEN])          # forward
@@ -70,14 +70,29 @@ def main():
         print(f"reference binary missing at {REF_BIN}; build it first "
               "(see .claude/skills/verify/SKILL.md)", file=sys.stderr)
         return 1
-    out = subprocess.run(
-        [str(REF_BIN), *ARGS, str(fa), str(HERE / "reads_pe_1.fq"),
-         str(HERE / "reads_pe_2.fq")],
-        capture_output=True, timeout=600, check=True,
-    )
-    (HERE / "golden_pe.sam").write_bytes(out.stdout)
-    print(f"wrote {HERE}/golden_pe.sam "
-          f"({len(out.stdout.splitlines())} lines)")
+
+    # NOTE: the reference's own two-FASTQ PE path is undefined behavior
+    # (mm_map_frag reads qlen_sum bytes from seqs[0] — a heap overread — and
+    # never writes regs[1], GDiet-ShortReads/map.c:598-744), so no byte
+    # golden exists for paired mapping. The well-defined per-END goldens
+    # below pin our PE path's alignment columns: R1 mapped as-is, R2 mapped
+    # after the FR pe_ori revcomp (worker_for, map.c:1057-1062).
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    with open(HERE / "reads_pe_2rc.fq", "w") as f:
+        lines = (HERE / "reads_pe_2.fq").read_bytes().splitlines()
+        for i in range(0, len(lines), 4):
+            f.write(lines[i].decode() + "\n")
+            f.write(lines[i + 1].translate(comp)[::-1].decode() + "\n")
+            f.write("+\n")
+            f.write(lines[i + 3][::-1].decode() + "\n")
+    for src, dst in [("reads_pe_1.fq", "golden_pe_r1.sam"),
+                     ("reads_pe_2rc.fq", "golden_pe_r2rc.sam")]:
+        out = subprocess.run(
+            [str(REF_BIN), *ARGS, str(fa), str(HERE / src)],
+            capture_output=True, timeout=600, check=True,
+        )
+        (HERE / dst).write_bytes(out.stdout)
+        print(f"wrote {HERE}/{dst} ({len(out.stdout.splitlines())} lines)")
     return 0
 
 

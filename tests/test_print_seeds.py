@@ -33,10 +33,11 @@ def _mk(seed=7, glen=40_000, n_reads=4, rlen=120):
     )
     mi = build_index([("chrT", seq)], io_)
     reads = []
-    for _ in range(n_reads):
+    for i in range(n_reads):
         st = int(rng.integers(0, glen - rlen))
         r = genome[st : st + rlen].copy()
-        r[int(rng.integers(0, rlen))] ^= 1
+        if i > 0:  # read 0 stays exact so voting emits a VT potential
+            r[int(rng.integers(0, rlen))] ^= 1
         reads.append("".join(bases[c] for c in r))
     return mi, mo, reads
 
