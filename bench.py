@@ -303,6 +303,107 @@ def lr_stats(fa: pathlib.Path) -> dict:
     return out
 
 
+ONT_REF_ARGS = [
+    "-a", "-t", "1", "-x", "map-ont", "-Z", "10", "-W", "2", "-i", "0.2",
+    "-k", "15", "-w", "10", "-N", "1", "-r", "1300", "--vt_dis=1000",
+    "--vt_nb_loc=3", "--vt_df1=0.007", "--vt_df2=0.007",
+    "--max_min_gap=4000", "--vt_f=0.04", "-s", "35000", "--vt_cov", "0.3",
+    "--sort=merge", "--frag=no", "-F200,1",
+]
+
+
+def gen_ont_reads(fa: pathlib.Path) -> pathlib.Path:
+    """30 kb ONT-like reads (the recipe's UltraLongReadSplitter output
+    shape, Read-mapping-real-data-ONT.sh:16-18): 3% subs + 1% ins + 1% del."""
+    fq = BENCH_DIR / "reads_ont.fq"
+    if fq.exists():
+        return fq
+    rng = np.random.default_rng(SEED + 2)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = "".join(l.strip() for l in open(fa) if not l.startswith(">"))
+    lut = np.zeros(256, np.int64)
+    for i, c in enumerate(b"ACGT"):
+        lut[c] = i
+    g = lut[np.frombuffer(seq.encode(), np.uint8)]
+    L = 30_000
+    with open(fq, "w") as f:
+        for n in range(100):
+            st = int(rng.integers(0, len(g) - L))
+            src = g[st : st + L]
+            out = []
+            for b in src:
+                r = rng.random()
+                if r < 0.01:      # deletion
+                    continue
+                if r < 0.02:      # insertion
+                    out.append(int(rng.integers(0, 4)))
+                if r < 0.05:      # substitution
+                    b = (b + int(rng.integers(1, 4))) % 4
+                out.append(int(b))
+            arr = np.array(out, np.int64)
+            if rng.random() < 0.5:
+                arr = 3 - arr[::-1]
+            s_ = bases[arr].tobytes().decode()
+            f.write(f"@o{n}\n{s_}\n+\n{'I' * len(s_)}\n")
+    return fq
+
+
+def ont_stats(fa: pathlib.Path) -> dict:
+    """Ultralong ONT throughput + fallback check (30 kb reads through the
+    DEVICE long-read path — no Python-oracle cliff)."""
+    from gdiet_tpu.config import options_for
+    from gdiet_tpu.index.build import build_index
+    from gdiet_tpu.io.fastx import read_fastx
+    from gdiet_tpu.pipeline.longread import LongReadMapper
+
+    out: dict = {}
+    fq = gen_ont_reads(fa)
+    lr_bin = pathlib.Path("/tmp/gdiet_ref/LR/GDiet")
+    if lr_bin.exists():
+        t0 = time.perf_counter()
+        subprocess.run(
+            [str(lr_bin), *ONT_REF_ARGS, "-o", str(BENCH_DIR / "ont_ref.sam"),
+             str(fa), str(fq)],
+            check=True, capture_output=True, timeout=3600,
+        )
+        out["ont_ref_reads_per_sec"] = round(
+            100 / (time.perf_counter() - t0), 2)
+
+    io_, mo = options_for(
+        "map-ont", variant="lr", pattern="10", k=15, w=10, max_seeds=0.2,
+        bw=1300, vt_dis=1000, vt_nb_loc=3, vt_df1=0.007, vt_df2=0.007,
+        max_min_gap=4000, vt_f=0.04, min_dp_max=35000, vt_cov=0.3,
+        best_n=1,
+    )
+    refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
+    mi = build_index(refs, io_)
+    mapper = LongReadMapper(mi, mo, max_read_len=32768, seed_budget=4096,
+                            shift_seed_budget=1024, hit_budget=8192)
+    reads = list(read_fastx(str(fq)))
+    B = 16
+
+    def batches():
+        for s0 in range(0, len(reads), B):
+            b = reads[s0 : s0 + B]
+            yield len(b), (b + [b[0]] * (B - len(b)) if len(b) < B else b)
+
+    n_fb = 0
+    for _, b in batches():  # compile + count device-path coverage
+        for res in mapper.map_stream(iter([b])):
+            pass
+    t0 = time.perf_counter()
+    n_done = 0
+    for (n_real, _), res in zip(batches(),
+                                mapper.map_stream(b for _, b in batches())):
+        n_done += n_real
+        n_fb += sum(1 for i in range(n_real)
+                    if getattr(mapper, "last_host_only", None) is not None
+                    and mapper.last_host_only[i])
+    out["ont_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 2)
+    out["ont_oracle_fallbacks"] = n_fb
+    return out
+
+
 def mcups_stat() -> float:
     """Extend-kernel microbenchmark (the BASELINE.md north-star number)."""
     import jax
@@ -368,6 +469,10 @@ def main():
         stats.update(lr_stats(fa))
     except Exception as ex:  # aux stats are best-effort
         log(f"aux stats failed: {ex}")
+    try:
+        stats.update(ont_stats(fa))
+    except Exception as ex:
+        log(f"ont stats failed: {ex}")
     log(f"stats: {json.dumps(stats)}")
     print(json.dumps(result))
 

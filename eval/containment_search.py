@@ -28,13 +28,21 @@ from gdiet_tpu.io.fastx import SeqRecord, read_fastx  # noqa: E402
 DEFAULT_PATTERNS = ["11", "10", "110", "100", "1110"]
 
 
-def cmd_index(target: str, outdir: str, patterns: list[str]):
+def cmd_index(target: str, outdir: str, patterns: list[str],
+              no_seq: bool = False):
+    """Per-pattern index build sweep (ContainmentIndexing.sh:7-108). With
+    ``no_seq`` the packed reference sequence is dropped (MM_I_NO_SEQ /
+    --idx-no-seq, index.c:339-349) — the reference's 723x space story."""
+    from gdiet_tpu.config import MM_I_NO_SEQ
+
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     refs = [(r.name, r.seq) for r in read_fastx(target)]
     rows = []
     for pat in patterns:
         io_, _ = options_for("map-hifi", variant="lr", pattern=pat, k=19, w=16)
+        if no_seq:
+            io_.flag |= MM_I_NO_SEQ
         t0 = time.perf_counter()
         mi = build_index(refs, io_)
         dt = time.perf_counter() - t0
@@ -86,7 +94,9 @@ def cmd_search(index_path: str, query: str, chunk_len: int = 2000,
 
 if __name__ == "__main__":
     if sys.argv[1] == "index":
-        cmd_index(sys.argv[2], sys.argv[3], sys.argv[4:] or DEFAULT_PATTERNS)
+        args = [a for a in sys.argv[4:] if a != "--no-seq"]
+        cmd_index(sys.argv[2], sys.argv[3], args or DEFAULT_PATTERNS,
+                  no_seq="--no-seq" in sys.argv)
     elif sys.argv[1] == "search":
         cmd_search(sys.argv[2], sys.argv[3],
                    int(sys.argv[4]) if len(sys.argv) > 4 else 2000,

@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Run the containment-search + taxonomic-profiling evaluations end-to-end
+and record the numbers into eval/RESULTS.md.
+
+Analogs of ReproducibleEvaluation/ContainmentSearch/ContainmentIndexing.sh
+(pattern sweep 11/10/110/100/1110 x {seq, no-seq} index size/time) and
+TaxonomicProfiling/TaxonomicProfiling.sh (GDiet inside a Metalign-style
+profiler). Synthetic data sized for a single box; the recorded RATIOS are
+the comparable quantities (the reference reports 72.7-75.9x search speed
+and 723x space at sparser patterns on RefSeq-scale data, README.md:69).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+WORK = pathlib.Path("/tmp/gdiet_evals")
+
+PATTERNS = ["11", "10", "110", "100", "1110"]
+
+
+def log(m):
+    print(f"[evals] {m}", file=sys.stderr, flush=True)
+
+
+def synth(rng, n):
+    return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+
+
+def containment():
+    from gdiet_tpu.config import MM_I_NO_SEQ, options_for
+    from gdiet_tpu.index.build import build_index
+    from gdiet_tpu.io.fastx import read_fastx
+
+    rng = np.random.default_rng(42)
+    target = synth(rng, 8_000_000)
+    fa = WORK / "cont_target.fa"
+    with open(fa, "w") as f:
+        f.write(">target\n")
+        for i in range(0, len(target), 80):
+            f.write(target[i : i + 80] + "\n")
+    refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
+
+    rows = []
+    for pat in PATTERNS:
+        for no_seq in (False, True):
+            io_, _ = options_for("map-hifi", variant="lr", pattern=pat,
+                                 k=19, w=16)
+            if no_seq:
+                io_.flag |= MM_I_NO_SEQ
+            t0 = time.perf_counter()
+            mi = build_index(refs, io_)
+            dt = time.perf_counter() - t0
+            p = WORK / f"cont_idx_{pat}{'_noseq' if no_seq else ''}.npz"
+            mi.save(str(p))
+            rows.append({
+                "pattern": pat, "no_seq": no_seq,
+                "build_s": round(dt, 2),
+                "bytes": p.stat().st_size,
+                "keys": len(mi.keys), "positions": len(mi.positions),
+            })
+            log(rows[-1])
+
+    # containment search: chunks of a CONTAINED genome (a 1 Mbp slice with
+    # 1% divergence) vs an UNRELATED genome, against the pattern-10 index
+    from gdiet_tpu.config import options_for as opt2
+    from gdiet_tpu.index.build import DietIndex
+    from gdiet_tpu.pipeline.longread import LongReadMapper
+    from gdiet_tpu.io.fastx import SeqRecord
+
+    contained = list(target[3_000_000:4_000_000])
+    idx = rng.integers(0, len(contained), 10_000)
+    for i in idx:
+        contained[i] = "ACGT"[int(rng.integers(0, 4))]
+    contained = "".join(contained)
+    unrelated = synth(rng, 1_000_000)
+
+    mi = DietIndex.load(str(WORK / "cont_idx_10.npz"))
+    io_, mo = opt2(
+        "map-hifi", variant="lr", pattern="10", k=19, w=16, max_seeds=0.2,
+        bw=500, vt_dis=650, vt_nb_loc=5, vt_df1=0.0106, vt_df2=0.2,
+        min_dp_max=200, vt_cov=0.04, vt_f=0.04,
+    )
+    search = {}
+    for tag, q in [("contained", contained), ("unrelated", unrelated)]:
+        chunks = [SeqRecord(f"c{i}", q[s0 : s0 + 2000])
+                  for i, s0 in enumerate(range(0, len(q) - 2000, 2000))]
+        B = 256
+        mapper = LongReadMapper(mi, mo, max_read_len=4096, seed_budget=512,
+                                shift_seed_budget=128, hit_budget=2048)
+        n_hit = 0
+        t0 = time.perf_counter()
+        for s0 in range(0, len(chunks), B):
+            b = chunks[s0 : s0 + B]
+            b = b + [b[0]] * (B - len(b))
+            for res in mapper.map_stream(iter([b])):
+                n_hit += sum(1 for r in res[: len(chunks) - s0] if r)
+        search[tag] = {
+            "chunks": len(chunks), "mapped": n_hit,
+            "frac": round(n_hit / len(chunks), 4),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        log(f"search {tag}: {search[tag]}")
+    return rows, search
+
+
+def taxonomic():
+    from gdiet_tpu.config import options_for
+    from gdiet_tpu.index.build import build_index
+    from gdiet_tpu.io.fastx import SeqRecord
+    from gdiet_tpu.pipeline.shortread import ShortReadMapper
+    from collections import Counter
+
+    rng = np.random.default_rng(7)
+    n_taxa = 8
+    genomes = {f"taxon{i}": synth(rng, 1_000_000) for i in range(n_taxa)}
+    truth = {"taxon0": 0.5, "taxon1": 0.3, "taxon2": 0.2}
+    reads = []
+    for name, frac in truth.items():
+        g = genomes[name]
+        for j in range(int(6000 * frac)):
+            st = int(rng.integers(0, len(g) - 150))
+            r = list(g[st : st + 150])
+            for _ in range(int(rng.binomial(150, 0.005))):
+                p = int(rng.integers(0, 150))
+                r[p] = "ACGT"[int(rng.integers(0, 4))]
+            reads.append(SeqRecord(f"r{name}_{j}", "".join(r)))
+    rng.shuffle(reads)
+
+    io_, mo = options_for(
+        "sr", pattern="10", k=21, w=11, max_seeds=2.0, best_n=1,
+        bw_frac=0.05, bw_min=150, bw_max=200, min_cnt=0.95,
+        rec_threshold_frac=0.3, min_dp_max=100, AF_max_loc=2,
+    )
+    t0 = time.perf_counter()
+    mi = build_index(list(genomes.items()), io_)
+    build_s = time.perf_counter() - t0
+    mapper = ShortReadMapper(mi, mo, max_read_len=160, seed_budget=32,
+                             shift_seed_budget=16, hit_budget=256,
+                             dp_frac=0.375)
+    counts = Counter()
+    total = mapped = 0
+    t0 = time.perf_counter()
+    B = 2048
+    batches = []
+    for s0 in range(0, len(reads), B):
+        b = reads[s0 : s0 + B]
+        batches.append((len(b), b + [b[0]] * (B - len(b))))
+    for (n_real, _), results in zip(
+        batches, mapper.map_stream(b for _, b in batches)
+    ):
+        for regs in results[:n_real]:
+            total += 1
+            pri = next((r for r in regs or [] if r.sam_pri), None)
+            if pri is not None:
+                mapped += 1
+                counts[mi.names[pri.rid]] += 1
+    dt = time.perf_counter() - t0
+    profile = {t: round(c / mapped, 4) for t, c in counts.most_common()}
+    l1 = sum(abs(profile.get(t, 0.0) - truth.get(t, 0.0))
+             for t in set(profile) | set(truth))
+    return {
+        "db_taxa": n_taxa, "reads": total, "mapped": mapped,
+        "build_s": round(build_s, 1), "map_s": round(dt, 2),
+        "reads_per_sec": round(total / dt, 1),
+        "profile": profile, "truth": truth, "l1_error": round(l1, 4),
+    }
+
+
+def main():
+    WORK.mkdir(parents=True, exist_ok=True)
+    cont_rows, search = containment()
+    tax = taxonomic()
+
+    base = next(r for r in cont_rows if r["pattern"] == "11"
+                and not r["no_seq"])
+    lines = [
+        "# Evaluation results (containment search + taxonomic profiling)",
+        "",
+        "Produced by `python eval/run_evals.py` (synthetic data; the",
+        "comparable quantities are the RATIOS — reference headline numbers",
+        "are 72.7-75.9x search speedup / 723x space on RefSeq-scale data,",
+        "README.md:69, ContainmentIndexing.sh:7-108).",
+        "",
+        "## Containment indexing sweep (8 Mbp target, map-hifi k19 w16)",
+        "",
+        "| pattern | seq stored | build s | index bytes | vs 11+seq |",
+        "|---|---|---|---|---|",
+    ]
+    for r in cont_rows:
+        lines.append(
+            f"| {r['pattern']} | {'no' if r['no_seq'] else 'yes'} | "
+            f"{r['build_s']} | {r['bytes']:,} | "
+            f"{base['bytes'] / r['bytes']:.2f}x smaller |")
+    lines += [
+        "",
+        "## Containment search (pattern 10 index, 2 kb query chunks)",
+        "",
+        "| query | chunks | mapped | contained frac | wall s |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, v in search.items():
+        lines.append(f"| {tag} | {v['chunks']} | {v['mapped']} | "
+                     f"{v['frac']} | {v['sec']} |")
+    lines += [
+        "",
+        "## Taxonomic profiling (8-taxon DB, 6k reads from 3 taxa)",
+        "",
+        f"- DB build: {tax['build_s']} s; mapping: {tax['reads_per_sec']} "
+        f"reads/s ({tax['mapped']}/{tax['reads']} mapped)",
+        f"- recovered profile: `{json.dumps(tax['profile'])}`",
+        f"- truth: `{json.dumps(tax['truth'])}`  |  L1 error: "
+        f"{tax['l1_error']}",
+        "",
+        f"Raw: `{json.dumps({'containment': cont_rows, 'search': search, 'taxonomic': tax})}`",
+    ]
+    out = REPO / "eval" / "RESULTS.md"
+    out.write_text("\n".join(lines) + "\n")
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

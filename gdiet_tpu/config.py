@@ -150,6 +150,7 @@ class MapOptions:
     cap_kalloc: int = 1_000_000_000
 
     split_prefix: str | None = None
+    split_len: int = 0  # >0: split reads longer than this (ultralong ONT)
 
     # ---- GDiet-specific (main.c:164-170; LongReads main.c:82-90,169-185) ----
     pattern: str = "11"

@@ -127,3 +127,24 @@ def read_batches(path: str, mini_batch_size: int) -> Iterator[list[SeqRecord]]:
             batch, total = [], 0
     if batch:
         yield batch
+
+
+def split_ultralong(records, max_len: int):
+    """UltraLongReadSplitter.py semantics (Read-mapping-real-data-ONT.sh:16):
+    reads longer than ``max_len`` are cut into non-overlapping ``max_len``
+    chunks named ``{name}{i} {comment}`` (with a comment) or ``{name}_{i}``
+    (without); shorter reads pass through (comment variant gets a "1"
+    appended — the splitter's quirk, replicated)."""
+    for rec in records:
+        if rec.l_seq <= max_len:
+            if rec.comment:
+                yield SeqRecord(rec.name + "1", rec.seq, rec.qual, rec.comment)
+            else:
+                yield rec
+            continue
+        n = (rec.l_seq + max_len - 1) // max_len
+        for i in range(n):
+            seq = rec.seq[i * max_len : (i + 1) * max_len]
+            qual = rec.qual[i * max_len : (i + 1) * max_len] if rec.qual else None
+            name = (f"{rec.name}{i}" if rec.comment else f"{rec.name}_{i}")
+            yield SeqRecord(name, seq, qual, rec.comment)

@@ -281,6 +281,14 @@ def run_mapping(
     query_groups = [queries] if len(queries) == 2 else [[q] for q in queries]
     for group in query_groups:
         frag_batches = list(read_frag_batches(group, mo.mini_batch_size))
+        if mo.split_len > 0:  # --split-reads (ultralong ONT chunking)
+            from gdiet_tpu.io.fastx import split_ultralong
+
+            frag_batches = [
+                [[c] for frag in fb for rec in frag
+                 for c in split_ultralong([rec], mo.split_len)]
+                for fb in frag_batches
+            ]
 
         # flatten segments for the batched mapper; pe_ori-revcomp paired
         # segments before mapping and flip coordinates back after
