@@ -78,7 +78,7 @@ LONG_OPTS_ARG = {
     "mask-len", "cap-kalloc", "q-occ-frac", "AF_dis", "AF_max_loc",
     "vt_dis", "vt_nb_loc", "vt_cov", "vt_df1", "vt_df2", "vt_f",
     "max_max_gap", "max_min_gap", "frag", "secondary", "sort", "variant",
-    "batch", "split-reads",
+    "batch", "split-reads", "mesh",
 }
 LONG_OPTS_FLAG_DOC = {"print-seeds", "print-qname", "idx-no-seq"}
 LONG_OPTS_OPTARG = {"cs", "rmq"}
@@ -387,6 +387,13 @@ def main(argv: list[str] | None = None) -> int:
                 mo.flag |= MM_F_FRAG_MODE
             elif arg in ("no", "n"):
                 mo.flag &= ~MM_F_FRAG_MODE
+        elif name == "mesh":
+            # multi-chip mapping: --mesh DATAxREF (e.g. 4x2) shards read
+            # batches over `data` and the CSR index over `ref`
+            # (parallel/dist.py); requires that many local devices
+            parts = arg.lower().split("x")
+            mo.mesh_shape = (int(parts[0]),
+                             int(parts[1]) if len(parts) > 1 else 1)
         elif name == "split-reads":
             # integrated UltraLongReadSplitter (the ONT recipe's 30 kb
             # pre-split, Read-mapping-real-data-ONT.sh:16)

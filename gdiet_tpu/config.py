@@ -151,6 +151,7 @@ class MapOptions:
 
     split_prefix: str | None = None
     split_len: int = 0  # >0: split reads longer than this (ultralong ONT)
+    mesh_shape: tuple | None = None  # (n_data, n_ref) multi-chip mesh
 
     # ---- GDiet-specific (main.c:164-170; LongReads main.c:82-90,169-185) ----
     pattern: str = "11"

@@ -456,9 +456,15 @@ class LongReadMapper:
                 Q, T, qlens, band, params, lq, tlens=tlens, Lt=lt,
                 band_budget=bb,
             )
-            ops, fin_i, fin_j = ds._backtrack_device(
+            ops, fin_i, fin_j = ds._backtrack_antidiag(
                 dirs, qlens, band, lq, tlens=tlens, Lt=lt, band_budget=bb,
             )
+            pad = (-ops.shape[1]) % 4
+            if pad:
+                ops = jnp.concatenate(
+                    [ops, jnp.full((ops.shape[0], pad), 255, jnp.uint8)],
+                    axis=1,
+                )
             N = Q.shape[0]
             b = lambda x: jax.lax.bitcast_convert_type(
                 x[:, None].astype(jnp.int32), jnp.uint8

@@ -227,7 +227,16 @@ def run_mapping(
     if variant == "sr":
         from gdiet_tpu.pipeline.shortread import ShortReadMapper
 
-        mapper = ShortReadMapper(mi, mo, max_read_len=max_read_len or 256)
+        mesh = None
+        if mo.mesh_shape is not None:
+            from gdiet_tpu.parallel.dist import make_mesh
+
+            mesh = make_mesh(*mo.mesh_shape)
+            _log(verbose, t0,
+                 f"multi-chip mesh: data={mo.mesh_shape[0]} "
+                 f"ref={mo.mesh_shape[1]}")
+        mapper = ShortReadMapper(mi, mo, max_read_len=max_read_len or 256,
+                                 mesh=mesh)
     else:
         from gdiet_tpu.pipeline.longread import LongReadMapper
 

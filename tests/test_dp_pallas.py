@@ -148,6 +148,19 @@ def test_pallas_banded_window():
     )
     cig_w = cigars_from_ops(np.asarray(ops), np.asarray(fin_i),
                             np.asarray(fin_j), qlens)
+    # antidiagonal-synchronous backtrack must agree (the LR bucket DP and
+    # the SR fused step both use it)
+    from gdiet_tpu.pipeline.device_step import _backtrack_antidiag
+
+    ops_a, fin_ia, fin_ja = _backtrack_antidiag(
+        d_w, jnp.asarray(qlens), jnp.asarray(band), LQ,
+        tlens=jnp.asarray(tlens), Lt=LT, band_budget=100,
+    )
+    cig_a = cigars_from_ops(np.asarray(ops_a), np.asarray(fin_ia),
+                            np.asarray(fin_ja), qlens)
+    assert cig_a == cig_w
+    np.testing.assert_array_equal(np.asarray(fin_ia), np.asarray(fin_i))
+    np.testing.assert_array_equal(np.asarray(fin_ja), np.asarray(fin_j))
     cig_x = backtrack_batch(np.asarray(d_x), np.asarray(o_x), np.asarray(e_x),
                             qlens, tlens)
     for i in range(N):
