@@ -212,6 +212,13 @@ def main():
     args = ap.parse_args()
 
     WORK.mkdir(parents=True, exist_ok=True)
+    # claim the device tunnel FIRST (its plugin handshake is flaky; failing
+    # here makes outer retries cheap)
+    sys.path.insert(0, str(REPO))
+    import gdiet_tpu  # noqa: F401
+    import jax
+
+    log(f"devices: {jax.devices()}")
     n_bases = args.genome_mb * 1_000_000
     fa = WORK / "genome.fa"
     t0 = time.perf_counter()
@@ -226,9 +233,6 @@ def main():
     if not uni_fq.exists():
         make_reads(codes, is_rep, 20000, uni_fq, 100)
         make_reads(codes, is_rep, 20000, rep_fq, 101, repeats_only=True)
-
-    import gdiet_tpu  # noqa: F401
-    import jax
 
     from gdiet_tpu.config import options_for
     from gdiet_tpu.index.build import DietIndex, build_index
