@@ -79,6 +79,15 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.extd2_approx.restype = ctypes.c_int64
+    lib.extd2_approx.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.sr_finish_batch.restype = ctypes.c_int64
     lib.sr_finish_batch.argtypes = (
         [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
@@ -314,3 +323,26 @@ def sr_finish_batch(
             return out.raw[:rc], rec_offs, done
         cap *= 4
     return None
+
+
+def extd2_approx(query, target, a: int, b: int, q: int, e: int,
+                 q2: int, e2: int, w: int):
+    """Scalar banded dual-affine DP (oracle/align.py::extd2 semantics for
+    the APPROX_MAX + left-aligned + CIGAR configuration) in C. Returns
+    (score, cigar list) or None when the native library is unavailable
+    or the CIGAR overflowed."""
+    if lib is None:
+        return None
+    qv = np.ascontiguousarray(query, np.uint8)
+    tv = np.ascontiguousarray(target, np.uint8)
+    max_cig = 2 * (len(qv) + len(tv)) + 16
+    cig = np.zeros(max_cig, np.uint32)
+    n_cig = np.zeros(1, np.int64)
+    score = lib.extd2_approx(
+        _ptr(qv, ctypes.c_uint8), len(qv), _ptr(tv, ctypes.c_uint8), len(tv),
+        a, b, q, e, q2, e2, w,
+        _ptr(cig, ctypes.c_uint32), max_cig, _ptr(n_cig, ctypes.c_int64),
+    )
+    if n_cig[0] < 0:
+        return None
+    return int(score), [(int(v) >> 4, int(v) & 0xF) for v in cig[: n_cig[0]]]

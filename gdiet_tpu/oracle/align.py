@@ -81,6 +81,20 @@ def extd2(
     with_cigar = not (flag & KSW_EZ_SCORE_ONLY)
     approx_max = bool(flag & KSW_EZ_APPROX_MAX)
 
+    if (approx_max and with_cigar
+            and not (flag & (KSW_EZ_RIGHT | KSW_EZ_APPROX_DROP))):
+        # GDiet's only kernel configuration (map.c:867,923-929): use the
+        # bit-identical C port (native/gdiet_native.c::extd2_approx)
+        from gdiet_tpu import native
+
+        if native.lib is not None:
+            res = native.extd2_approx(query, target, a, b, q, e, q2, e2, w)
+            if res is not None:
+                ez.score, ez.cigar = res
+                ez.n_cigar = len(ez.cigar)
+                ez.zdropped = ez.score == NEG_INF and not ez.cigar
+                return ez
+
     if q2 + e2 < q + e:  # ensure q+e <= q2+e2 (ksw2_extd2_sse.c:78)
         q, q2 = q2, q
         e, e2 = e2, e

@@ -53,6 +53,8 @@ class ShortReadMapper:
         hit_budget: int = 2048,
         dp_frac: float = 0.5,
         mesh=None,
+        retry_hit_budget: int = 2048,
+        retry_batch: int = 512,
     ):
         self.mi = index
         self.mo = mo
@@ -74,6 +76,56 @@ class ShortReadMapper:
                 S2=shift_seed_budget, A=hit_budget, dp_frac=dp_frac,
             )
         self._oracle_index = None
+        self._retry_args = (seed_budget, shift_seed_budget, retry_hit_budget)
+        self.retry_batch = retry_batch
+        self._retry_fused = None
+
+    # ------------------------------------------------------------------
+    def _retry_mapper(self):
+        """Wider-budget fused variant for reads that overflow the primary
+        envelope (hit/DP/seed budgets) — the bucketing-with-overflow-retry
+        design from SURVEY.md §7: a second compiled tier keeps repeat-heavy
+        reads on device instead of the scalar oracle."""
+        S, S2, A2 = self._retry_args
+        if A2 <= self.fused.cfg.A or self.mesh is not None:
+            return None
+        if self._retry_fused is None:
+            self._retry_fused = FusedMapper(
+                self.mi, self.mo, Lmax=self.Lmax, S=min(4 * S, 256), S2=S2,
+                A=A2, dp_frac=1.0,
+            )
+        return self._retry_fused
+
+    def _retry_batch_regs(self, reads_sub):
+        """Map overflow reads through the retry tier; returns
+        (regs per read | None where it still fell back)."""
+        rf = self._retry_mapper()
+        out: list = [None] * len(reads_sub)
+        if rf is None:
+            return out
+        RB = self.retry_batch
+        for s0 in range(0, len(reads_sub), RB):
+            chunk = reads_sub[s0 : s0 + RB]
+            if native.lib is not None:
+                codes, lens = native.encode_batch(
+                    [r.seq for r in chunk] + [""] * (RB - len(chunk)),
+                    self.Lmax,
+                )
+            else:
+                lens = np.zeros(RB, np.int64)
+                codes = np.full((RB, self.Lmax), 255, np.uint8)
+                for i, r in enumerate(chunk):
+                    c = osk.seq_to_code(r.seq)[: self.Lmax]
+                    codes[i, : len(c)] = c
+                    lens[i] = r.l_seq
+            dev = rf(jnp.asarray(codes), jnp.asarray(lens))
+            regs_list, fb = self._finish_device(
+                dev, codes[: len(chunk)], lens[: len(chunk)], fused=rf
+            )
+            for j in range(len(chunk)):
+                if not fb[j]:
+                    out[s0 + j] = regs_list[j]
+        return out
 
     # ------------------------------------------------------------------
     def _oracle_mi(self):
@@ -157,15 +209,23 @@ class ShortReadMapper:
     def _finish(self, state) -> list[list[oal.Reg]]:
         reads, codes, lens, host_only, device_idx, dev = state
         results: list[list[oal.Reg] | None] = [None] * len(reads)
+        retry_i: list[int] = []
         if dev is not None:
             dev_results, fb = self._finish_device(
                 dev, codes[device_idx], lens[device_idx]
             )
             for j, i in enumerate(device_idx):
                 if fb[j]:
-                    host_only[i] = True
+                    retry_i.append(i)
                 else:
                     results[i] = dev_results[j]
+        if retry_i:  # second, wider-budget device tier before the oracle
+            retried = self._retry_batch_regs([reads[i] for i in retry_i])
+            for i, regs in zip(retry_i, retried):
+                if regs is not None:
+                    results[i] = regs
+                else:
+                    host_only[i] = True
         for i in np.where(host_only)[0]:
             results[i] = map_read(
                 self._oracle_mi(), reads[i].seq, self.mo, self.mid_occ,
@@ -252,6 +312,17 @@ class ShortReadMapper:
             for j, i in enumerate(di):
                 if done[j]:
                     spans[i] = (int(rec_offs[j]), int(rec_offs[j + 1]))
+        retry_regs: dict[int, list] = {}
+        retry_i = [i for i in range(B)
+                   if spans[i] is None and not host_only[i]]
+        if retry_i:  # second, wider-budget device tier before the oracle
+            retried = self._retry_batch_regs([reads[i] for i in retry_i])
+            for i, regs in zip(retry_i, retried):
+                if regs is not None:
+                    retry_regs[i] = regs
+            self.stats["retried_reads"] = (
+                self.stats.get("retried_reads", 0) + len(retry_i)
+            )
         view = memoryview(buf)
         out = []
         n_fb = 0
@@ -265,6 +336,9 @@ class ShortReadMapper:
                     i += 1
                     e0 = spans[i][1]
                 out.append(view[s0:e0])
+                i += 1
+            elif i in retry_regs:
+                out.append(self._regs_to_sam(reads[i], retry_regs[i], rep_len))
                 i += 1
             else:
                 n_fb += 1
@@ -326,7 +400,7 @@ class ShortReadMapper:
         return self._rn_offs
 
     # ------------------------------------------------------------------
-    def _finish_device(self, dev, codes_np, lens_np):
+    def _finish_device(self, dev, codes_np, lens_np, fused=None):
         """Host finish from the two packed device tensors.
 
         Exactly two device->host copies per batch (the TPU link has high
@@ -336,9 +410,13 @@ class ShortReadMapper:
         reference codes.
         """
         mo, mi = self.mo, self.mi
+        fused = fused or self.fused
         B = len(lens_np)
-        K = self.fused.cfg.K
-        out = unpack_outputs(self._meta_host(dev, B), K)
+        K = fused.cfg.K
+        out = unpack_outputs(
+            self._meta_host(dev, B) if fused is self.fused
+            else np.asarray(dev["meta"]), K
+        )
         ops2 = np.asarray(dev["ops"])
 
         fallback = out["fallback"]

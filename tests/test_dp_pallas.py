@@ -4,11 +4,15 @@ import random
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gdiet_tpu.ops.dp import backtrack_batch, extd2_batch
 from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
 
 LMAX = 64
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_pallas_matches_xla():

@@ -11,6 +11,9 @@ from gdiet_tpu.pipeline.longread import LongReadMapper
 from tests.test_longread_oracle import CONFIGS
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.parametrize("tag", ["hifi", "ont"])
 def test_lr_device_parity(data_dir, tag):
     cfg = dict(CONFIGS[tag])
