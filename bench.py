@@ -246,8 +246,9 @@ def lr_stats(fa: pathlib.Path) -> dict:
     """Long-read throughput vs the reference LongReads binary (stderr stat)."""
     import jax.numpy as jnp
 
-    from gdiet_tpu.config import options_for
+    from gdiet_tpu.config import MM_F_NO_PRINT_2ND, options_for
     from gdiet_tpu.index.build import build_index
+    from gdiet_tpu.io import sam as samio
     from gdiet_tpu.io.fastx import read_fastx
     from gdiet_tpu.pipeline.longread import LongReadMapper
 
@@ -279,7 +280,8 @@ def lr_stats(fa: pathlib.Path) -> dict:
     refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
     mi = build_index(refs, io_)
     mapper = LongReadMapper(mi, mo, max_read_len=4096, seed_budget=512,
-                            shift_seed_budget=128, hit_budget=2048)
+                            shift_seed_budget=128, hit_budget=2048,
+                            vote_budget=512)
     reads = list(read_fastx(str(fq)))
     B = 256
 
@@ -296,10 +298,29 @@ def lr_stats(fa: pathlib.Path) -> dict:
             pass
     t0 = time.perf_counter()
     n_done = 0  # count only real (non-padding) reads
+    all_lines = []
     gen = mapper.map_stream(b for _, b in batches())
-    for (n_real, _), _res in zip(batches(), gen):
+    for (n_real, b), res in zip(batches(), gen):
         n_done += n_real
+        for rec, regs in zip(b[:n_real], res[:n_real]):
+            if regs:
+                for r in regs:
+                    if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                        continue
+                    all_lines.append(samio.sam_record(
+                        rec.name, rec.seq, rec.qual, r, regs, mi.names,
+                        mo.flag, 0))
+            else:
+                all_lines.append(samio.sam_record(
+                    rec.name, rec.seq, rec.qual, None, [], mi.names,
+                    mo.flag, 0))
     out["lr_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 1)
+    ref_sam = BENCH_DIR / "lr_ref.sam"
+    if ref_sam.exists():
+        ref_lines = [l for l in ref_sam.read_text().splitlines()
+                     if not l.startswith("@")]
+        same = sum(a == b_ for a, b_ in zip(all_lines, ref_lines))
+        out["lr_sam_parity"] = round(same / max(len(ref_lines), 1), 4)
     return out
 
 
@@ -378,7 +399,8 @@ def ont_stats(fa: pathlib.Path) -> dict:
     refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
     mi = build_index(refs, io_)
     mapper = LongReadMapper(mi, mo, max_read_len=32768, seed_budget=4096,
-                            shift_seed_budget=1024, hit_budget=8192)
+                            shift_seed_budget=1024, hit_budget=8192,
+                            vote_budget=4096)
     reads = list(read_fastx(str(fq)))
     B = 16
 
@@ -414,7 +436,7 @@ def mcups_stat() -> float:
     if jax.default_backend() != "tpu":
         return 0.0
     rng = np.random.default_rng(0)
-    N, L = 2048, 192
+    N, L = 16384, 192  # large N so kernel time dominates tunnel jitter
     Q = jnp.asarray(rng.integers(0, 4, (N, L), dtype=np.uint8))
     T = jnp.asarray(rng.integers(0, 4, (N, L), dtype=np.uint8))
     lens = jnp.full((N,), 150, jnp.int32)
@@ -423,9 +445,9 @@ def mcups_stat() -> float:
     f = jax.jit(lambda q, t, l, b: extd2_batch_pallas(q, t, l, b, prm, L))
     jax.block_until_ready(f(Q, T, lens, band))
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(3):
         jax.block_until_ready(f(Q, T, lens, band))
-    dt = (time.perf_counter() - t0) / 5
+    dt = (time.perf_counter() - t0) / 3
     return round(N * 150 * 150 / dt / 1e6, 0)
 
 

@@ -260,10 +260,11 @@ def cigars_from_ops(
         row = row[row < 3]
         run: list[tuple[int, int]] = []
         for opv in row:
+            opv = int(opv)  # plain int: np.uint8 ops overflow (l << 4) later
             if run and run[-1][1] == opv:
                 run[-1] = (run[-1][0] + 1, opv)
             else:
-                run.append((1, int(opv)))
+                run.append((1, opv))
         if fin_i[n] >= 0:
             if run and run[-1][1] == CIGAR_DEL:
                 run[-1] = (run[-1][0] + int(fin_i[n]) + 1, CIGAR_DEL)

@@ -36,8 +36,13 @@ DP_UNROLL = 4  # wavefronts per grid step (shared with the backtrack)
 
 def window_geometry(band_budget: int, T: int):
     """Static banded-window width for a given max bandwidth; None when the
-    window would not be smaller than the full lane range."""
-    WB = _round_up(band_budget + 320 + DP_UNROLL, 128)
+    window would not be smaller than the full lane range.
+
+    Coverage: for wavefronts r in [r0, r0+U) the kernel touches lanes
+    [st, en] with st >= ((r0-w+1)>>1) - 16 (16-aligned down) and
+    en <= ((r0+U-1+w)>>1) + 15; the 128-aligned window base costs <= 127
+    more, so width w + U/2 + 158 + eps suffices — +176 slack rounds up."""
+    WB = _round_up(band_budget + 176 + DP_UNROLL, 128)
     return WB if WB < T else None
 
 # columns of the per-row scalar scratch (sc_s[NB, 128])
@@ -315,7 +320,7 @@ def extd2_batch_pallas(
     # candidates per grid program: as many as a ~3.5 MB VMEM state budget
     # allows (8 int32 state arrays + unrolled dirs blocks + double-buffered
     # inputs must fit 16 MB) — larger NB amortizes per-grid-step overhead
-    NB = max(16, min(128, (7 << 19) // (32 * T) // 16 * 16))
+    NB = max(8, min(128, (7 << 19) // (32 * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
     WB = window_geometry(band_budget, T) if band_budget is not None else None
     Wd = WB if WB is not None else T

@@ -271,6 +271,7 @@ class StepConfig:
     bucket_shift: int = 0  # top-bits bucket of the key hash (index/build.py)
     bucket_iters: int = 30  # binary-search depth within a bucket
     dp_frac: float = 1.0  # DP/backtrack row budget as a fraction of B*K
+    vote_budget: int = 0  # >0: compact the vote stream to this many hits
 
     @classmethod
     def from_options(

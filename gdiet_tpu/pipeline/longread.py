@@ -50,6 +50,7 @@ class LongReadMapper:
         shift_seed_budget: int = 256,
         hit_budget: int = 8192,
         device: bool = True,
+        vote_budget: int = 0,
     ):
         self.mi = index
         self.mo = mo
@@ -66,7 +67,8 @@ class LongReadMapper:
             min(seed_budget, dmax), min(shift_seed_budget, dmax), hit_budget,
         )
         # LR voting keeps vt_nb_loc candidates (map.c:1310)
-        cfg = dataclass_replace(cfg, K=mo.vt_nb_loc)
+        cfg = dataclass_replace(cfg, K=mo.vt_nb_loc,
+                                vote_budget=vote_budget)
         tbl, shift_b, iters = bucket_table(index.keys, index.k)
         cfg = dataclass_replace(cfg, bucket_shift=shift_b, bucket_iters=iters)
         self._use_pallas_dp = jax.default_backend() == "tpu"
@@ -430,7 +432,7 @@ class LongReadMapper:
             cigs = None
             if native.lib is not None:
                 cigs = native.rle_ops(op_rows, fin_i, fin_j, qlens,
-                                      max_runs=1024)
+                                      max_runs=max(1024, op_rows.shape[1] // 4))
             if cigs is None:
                 cigs = dpk.cigars_from_ops(op_rows, fin_i, fin_j, qlens)
             for j, n in enumerate(sub):

@@ -300,6 +300,18 @@ def lr_front(
         codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
         maps, pref, cfg,
     )
+    # compact the voted stream: the strand-sorted hit arrays put valid hits
+    # first, and typical reads fill a small fraction of the A budget, so the
+    # three O(stream) vote scans (round 1 + both round-2 windows) run over
+    # vote_budget slots instead of A; overflowing reads fall back
+    C = cfg.vote_budget
+    if C and C < A_stream:
+        fallback = fallback | (
+            fok.sum(axis=1, dtype=jnp.int32) > C
+        ) | (rok.sum(axis=1, dtype=jnp.int32) > C)
+        fk, fq, fok = fk[:, :C], fq[:, :C], fok[:, :C]
+        rk, rq, rok = rk[:, :C], rq[:, :C], rok[:, :C]
+        A_stream = C
     barrier = jnp.full((B, 1), U64_MAX, jnp.uint64)
     bq = jnp.zeros((B, 1), jnp.int32)
     bok = jnp.zeros((B, 1), bool)
