@@ -53,15 +53,23 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _row_gather(arr, idx, base=0):
+def _row_gather(arr, idx, base=0, mask=None):
     """arr[row, idx[row] - base] for per-row indices clipped into the array,
-    via masked reduction. ``base`` is the absolute lane id of column 0."""
-    T = arr.shape[1]
-    lanes = base + jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
-    idx_c = jnp.clip(idx, base, base + T - 1)
+    via masked reduction. ``base`` is the absolute lane id of column 0.
+    Pass a precomputed ``mask`` (from _row_mask) when several arrays are
+    gathered at the same index."""
+    if mask is None:
+        mask = _row_mask(arr.shape, idx, base)
     return jnp.sum(
-        jnp.where(lanes == idx_c, arr, 0), axis=1, keepdims=True, dtype=arr.dtype
+        jnp.where(mask, arr, 0), axis=1, keepdims=True, dtype=arr.dtype
     )
+
+
+def _row_mask(shape, idx, base=0):
+    T = shape[1]
+    lanes = base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx_c = jnp.clip(idx, base, base + T - 1)
+    return lanes == idx_c
 
 
 def _dp_kernel(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
@@ -166,13 +174,19 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
         # boundary values (ksw2_extd2_sse.c:149-163)
         prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
-        x1 = jnp.where(prev_ok, _row_gather(x, st - 1, lo_al), qe_init)
-        x21 = jnp.where(prev_ok, _row_gather(x2, st - 1, lo_al), qe2_init)
+        m_st1 = _row_mask((NB, W_), st - 1, lo_al)
+        x1 = jnp.where(prev_ok, _row_gather(x, st - 1, lo_al, m_st1), qe_init)
+        x21 = jnp.where(prev_ok, _row_gather(x2, st - 1, lo_al, m_st1),
+                        qe2_init)
         bu = jnp.where(
             r == 0, qe_init,
             jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
         )
-        v1 = jnp.where(st > 0, jnp.where(prev_ok, _row_gather(v, st - 1, lo_al), qe_init), bu)
+        v1 = jnp.where(
+            st > 0,
+            jnp.where(prev_ok, _row_gather(v, st - 1, lo_al, m_st1), qe_init),
+            bu,
+        )
 
         # edge-lane init at t == r
         at_edge = (lanes == r) & (en >= r) & live
@@ -320,7 +334,10 @@ def extd2_batch_pallas(
     # candidates per grid program: as many as a ~3.5 MB VMEM state budget
     # allows (8 int32 state arrays + unrolled dirs blocks + double-buffered
     # inputs must fit 16 MB) — larger NB amortizes per-grid-step overhead
-    NB = max(8, min(128, (7 << 19) // (32 * T) // 16 * 16))
+    # VMEM per block-row: 8 state arrays x 4B x T (scratch) + the double-
+    # buffered query/target/dirs blocks; ~6 MB of scratch budget doubles NB
+    # for the mid-size long-read buckets (fewer, fatter grid steps)
+    NB = max(8, min(128, (12 << 19) // (32 * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
     WB = window_geometry(band_budget, T) if band_budget is not None else None
     Wd = WB if WB is not None else T
