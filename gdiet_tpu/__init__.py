@@ -26,6 +26,11 @@ jax.config.update(
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# numeric tripwires (the asan/tsan analog, SURVEY.md §5.2): fail fast on
+# NaN/Inf leaving any device computation when debugging
+if os.environ.get("GDIET_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_debug_infs", True)
 
 from gdiet_tpu.config import IndexOptions, MapOptions, set_preset  # noqa: E402
 

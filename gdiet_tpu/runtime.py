@@ -203,6 +203,22 @@ def run_mapping(
 ) -> int:
     t0 = time.perf_counter()
 
+    # multi-host bring-up (SURVEY.md §5.8): join the pod when the driver
+    # exports coordinator env vars (jax.distributed; ICI/DCN collectives)
+    import os as _os
+
+    if _os.environ.get("GDIET_COORDINATOR"):
+        from gdiet_tpu.parallel.dist import init_distributed
+
+        init_distributed(
+            _os.environ["GDIET_COORDINATOR"],
+            int(_os.environ.get("GDIET_NUM_PROCESSES", "1")),
+            int(_os.environ.get("GDIET_PROCESS_ID", "0")),
+        )
+        _log(verbose, t0,
+             f"joined jax.distributed as process "
+             f"{_os.environ.get('GDIET_PROCESS_ID', '0')}")
+
     # multi-part split mapping (-I small + --split-prefix)
     if mo.split_prefix and not DietIndex.is_index(target):
         total = sum(r.l_seq for r in read_fastx(target))
