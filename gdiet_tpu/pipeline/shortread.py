@@ -55,6 +55,7 @@ class ShortReadMapper:
         mesh=None,
         retry_hit_budget: int = 2048,
         retry_batch: int = 512,
+        n_threads: int = 1,
     ):
         self.mi = index
         self.mo = mo
@@ -79,6 +80,20 @@ class ShortReadMapper:
         self._retry_args = (seed_budget, shift_seed_budget, retry_hit_budget)
         self.retry_batch = retry_batch
         self._retry_fused = None
+        # -t: the oracle fallbacks spend their time in numpy/C (which
+        # release the GIL), so a thread pool is the kt_for analog for the
+        # host finish (kthread.c:54)
+        self.n_threads = max(1, n_threads)
+        self._pool = None
+
+    def _map_oracle(self, fn, items):
+        if self.n_threads > 1 and len(items) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.n_threads)
+            return list(self._pool.map(fn, items))
+        return [fn(x) for x in items]
 
     # ------------------------------------------------------------------
     def _retry_mapper(self):
@@ -226,11 +241,13 @@ class ShortReadMapper:
                     results[i] = regs
                 else:
                     host_only[i] = True
-        for i in np.where(host_only)[0]:
-            results[i] = map_read(
-                self._oracle_mi(), reads[i].seq, self.mo, self.mid_occ,
-                reads[i].name,
-            )
+        idx = np.where(host_only)[0]
+        for i, regs in zip(idx, self._map_oracle(
+            lambda i: map_read(self._oracle_mi(), reads[i].seq, self.mo,
+                               self.mid_occ, reads[i].name),
+            list(idx),
+        )):
+            results[i] = regs
         return results
 
     # ------------------------------------------------------------------
@@ -323,6 +340,11 @@ class ShortReadMapper:
             self.stats["retried_reads"] = (
                 self.stats.get("retried_reads", 0) + len(retry_i)
             )
+        oracle_i = [i for i in range(B)
+                    if spans[i] is None and i not in retry_regs]
+        oracle_blobs = dict(zip(oracle_i, self._map_oracle(
+            lambda i: self._oracle_sam(reads[i], rep_len), oracle_i,
+        )))
         view = memoryview(buf)
         out = []
         n_fb = 0
@@ -342,7 +364,7 @@ class ShortReadMapper:
                 i += 1
             else:
                 n_fb += 1
-                out.append(self._oracle_sam(reads[i], rep_len))
+                out.append(oracle_blobs[i])
                 i += 1
         self.stats["fallback_reads"] += n_fb
         blob = b"".join(out)

@@ -252,7 +252,7 @@ def run_mapping(
                  f"multi-chip mesh: data={mo.mesh_shape[0]} "
                  f"ref={mo.mesh_shape[1]}")
         mapper = ShortReadMapper(mi, mo, max_read_len=max_read_len or 256,
-                                 mesh=mesh)
+                                 mesh=mesh, n_threads=n_threads)
     else:
         from gdiet_tpu.pipeline.longread import LongReadMapper
 
