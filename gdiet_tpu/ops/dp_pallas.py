@@ -34,7 +34,7 @@ NEG_INF = -0x40000000
 DP_UNROLL = 4  # wavefronts per grid step (shared with the backtrack)
 
 
-def window_geometry(band_budget: int, T: int):
+def window_geometry(band_budget: int, T: int, unroll: int = DP_UNROLL):
     """Static banded-window width for a given max bandwidth; None when the
     window would not be smaller than the full lane range.
 
@@ -42,7 +42,7 @@ def window_geometry(band_budget: int, T: int):
     [st, en] with st >= ((r0-w+1)>>1) - 16 (16-aligned down) and
     en <= ((r0+U-1+w)>>1) + 15; the 128-aligned window base costs <= 127
     more, so width w + U/2 + 158 + eps suffices — +176 slack rounds up."""
-    WB = _round_up(band_budget + 176 + DP_UNROLL, 128)
+    WB = _round_up(band_budget + 176 + unroll, 128)
     return WB if WB < T else None
 
 # columns of the per-row scalar scratch (sc_s[NB, 128])
@@ -304,7 +304,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
 
 @partial(jax.jit, static_argnames=("params", "Lmax", "Lt", "band_budget",
-                                   "interpret"))
+                                   "interpret", "unroll"))
 def extd2_batch_pallas(
     query: jnp.ndarray,  # [N, Lmax] uint8 codes
     target: jnp.ndarray,  # [N, Lt|Lmax] uint8 codes
@@ -317,6 +317,8 @@ def extd2_batch_pallas(
     band_budget: int | None = None,  # static max bandwidth: enables the
     # banded lane window (compute + dirs IO shrink from T to ~band lanes)
     interpret: bool = False,
+    unroll: int = DP_UNROLL,  # wavefronts per grid step (the long-read
+    # buckets use 8: their cost is grid-step overhead, not lane math)
 ):
     """Returns (score [N], dirs [N, R, Wd] u8, offs [N, R], off_ends [N, R])
     with Wd = the banded window width when band_budget is set, else T.
@@ -339,7 +341,8 @@ def extd2_batch_pallas(
     # for the mid-size long-read buckets (fewer, fatter grid steps)
     NB = max(8, min(128, (12 << 19) // (32 * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
-    WB = window_geometry(band_budget, T) if band_budget is not None else None
+    WB = (window_geometry(band_budget, T, unroll)
+          if band_budget is not None else None)
     Wd = WB if WB is not None else T
 
     a, b, q, e, q2, e2 = params
@@ -366,7 +369,7 @@ def extd2_batch_pallas(
     meta = meta.at[:N, 1].set(band.astype(jnp.int32))
     meta = meta.at[:N, 2].set(tl.astype(jnp.int32))
 
-    U = DP_UNROLL  # wavefronts per grid step: amortizes per-step overhead
+    U = unroll  # wavefronts per grid step: amortizes per-step overhead
     R = _round_up(R, U * 8)
     grid = (Npad // NB, R // U)
     with jax.enable_x64(False):  # index-map literals must trace as i32

@@ -376,10 +376,12 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None,
     """
     from gdiet_tpu.ops.dp_pallas import DP_UNROLL, _round_up, window_geometry
 
+    U_ = unroll or DP_UNROLL
     N = dirs.shape[0]
     R, Wd = dirs.shape[1], dirs.shape[2]
     T = _round_up(Lt if Lt is not None else Lmax, 128)
-    WB = window_geometry(band_budget, T) if band_budget is not None else None
+    WB = (window_geometry(band_budget, T, U_)
+          if band_budget is not None else None)
     SMAX = Lmax + (Lt if Lt is not None else Lmax)
     i32 = jnp.int32
     lens = dp_lens.astype(i32)
@@ -402,7 +404,7 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None,
         force = jnp.where(i < off_r, 2, force)
         force = jnp.where(i > off_end_r, 1, force)
         if WB is not None:
-            r0 = rc // DP_UNROLL * DP_UNROLL
+            r0 = rc // U_ * U_
             lo_raw = ((r0 - jnp.int32(band_budget) + 1) >> 1) - 16
             lo_al = jnp.clip(lo_raw, 0, T - WB) // 128 * 128
             col = jnp.clip(i - lo_al, 0, Wd - 1)
@@ -438,7 +440,7 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None,
 
 
 def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
-                        band_budget=None):
+                        band_budget=None, unroll=None):
     """Antidiagonal-synchronous device backtrack.
 
     Iterates r = R-1 .. 0; each row's walker acts exactly when it sits on
@@ -454,9 +456,11 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
     """
     from gdiet_tpu.ops.dp_pallas import DP_UNROLL, _round_up, window_geometry
 
+    U_ = unroll or DP_UNROLL
     N, R, Wd = dirs.shape
     T = _round_up(Lt if Lt is not None else Lmax, 128)
-    WB = window_geometry(band_budget, T) if band_budget is not None else None
+    WB = (window_geometry(band_budget, T, U_)
+          if band_budget is not None else None)
     i32 = jnp.int32
     lens = dp_lens.astype(i32)
     tl = lens if tlens is None else tlens.astype(i32)
@@ -479,7 +483,7 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
         force = jnp.where(i < off_r, i32(2), force)
         force = jnp.where(i > off_end_r, i32(1), force)
         if WB is not None:
-            r0 = r // DP_UNROLL * DP_UNROLL
+            r0 = r // U_ * U_
             lo_raw = ((r0 - jnp.int32(band_budget) + 1) >> 1) - 16
             lo_al = jnp.clip(lo_raw, 0, T - WB) // 128 * 128
             col = jnp.clip(i - lo_al, 0, Wd - 1)

@@ -452,14 +452,19 @@ class LongReadMapper:
 
         bb = int(self.mo.bw)
 
+        # windowed long-read buckets are grid-step-overhead bound: use a
+        # deeper wavefront unroll than the short-read default
+        LR_UNROLL = 8
+
         @jax.jit
         def run(Q, T, qlens, tlens, band):
             score, dirs, offs, offe = extd2_batch_pallas(
                 Q, T, qlens, band, params, lq, tlens=tlens, Lt=lt,
-                band_budget=bb,
+                band_budget=bb, unroll=LR_UNROLL,
             )
             ops, fin_i, fin_j = ds._backtrack_antidiag(
                 dirs, qlens, band, lq, tlens=tlens, Lt=lt, band_budget=bb,
+                unroll=LR_UNROLL,
             )
             pad = (-ops.shape[1]) % 4
             if pad:
