@@ -261,9 +261,12 @@ def update_extra_full_batch(jobs: list, a: int, b: int, q: int, e: int,
 
 
 def _blob(strs: list[str]) -> tuple[bytes, np.ndarray]:
-    offs = np.zeros(len(strs) + 1, np.int64)
-    np.cumsum([len(s) for s in strs], out=offs[1:])
-    return "".join(strs).encode(), offs
+    # offsets must be BYTE offsets: encode per string (a non-ASCII char in
+    # a read name would otherwise desynchronize every later offset)
+    bs = [s.encode() for s in strs]
+    offs = np.zeros(len(bs) + 1, np.int64)
+    np.cumsum([len(b) for b in bs], out=offs[1:])
+    return b"".join(bs), offs
 
 
 def sr_finish_batch(

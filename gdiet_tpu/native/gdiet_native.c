@@ -354,6 +354,26 @@ static inline char *srf_put_str(char *p, const char *s) {
 
 static const char srf_cigar_str[] = "MIDNSHP=XB";
 
+/* Upper bound on one srf_write_sam record: every variable-length piece
+ * (qname, seq, qual, rname, CIGAR text at <=12 chars/op incl. clips, SA
+ * entries at rname + <=128 chars each) plus 256 bytes of fixed fields and
+ * tags. Guards the out_buf advance — srf_write_sam has no internal check. */
+static int64_t srf_rec_bound(const srf_reg_t *r, srf_reg_t *const *regs,
+                             int64_t n_regs, int64_t name_len, int64_t qlen,
+                             int64_t qual_len, const int64_t *ref_name_offs) {
+    int64_t need = name_len + qlen + qual_len + 256;
+    if (r == NULL) return need;
+    need += ref_name_offs[r->rid + 1] - ref_name_offs[r->rid];
+    need += (r->n_cig + 2) * 12;
+    if (r->parent == r->id && r->n_cig && n_regs > 1)
+        for (int64_t i = 0; i < n_regs; i++) {
+            const srf_reg_t *q = regs[i];
+            if (q == r || q->parent != q->id || !q->n_cig) continue;
+            need += ref_name_offs[q->rid + 1] - ref_name_offs[q->rid] + 128;
+        }
+    return need;
+}
+
 /* mm_event_identity (align.c:961-966) */
 static double srf_event_identity(const srf_reg_t *r) {
     int64_t n_gap = 0, n_gapo = 0;
@@ -405,11 +425,17 @@ static void srf_set_sam_params(srf_reg_t **regs, int64_t n, int64_t qlen,
     else if (nb_sec == 3) r0->mapq = 3;
     else if (nb_sec == 2) r0->mapq = 5;
     else if (nb_sec == 1) {
-        int64_t dp_max = r0->score;
-        double identity = r0->blen ? (double)r0->mlen / (double)r0->blen : 0.0;
-        int64_t denom = qlen * match_a - dp_max2;
+        /* hit.c:551-553 evaluates the whole chain in float (identity is
+         * float; 54 * identity * ... promotes to float, int-truncated).
+         * denom==0 is float div-by-zero in the reference (inf -> UB int
+         * cast); mapq 60 here is a deliberate UB-avoiding deviation. */
+        int dp_max = (int)r0->score;
+        float identity = r0->blen
+            ? (float)r0->mlen / (float)r0->blen : 0.0f;
+        int denom = (int)(qlen * match_a - dp_max2);
         r0->mapq = denom
-            ? (int32_t)(54.0 * identity * (double)(dp_max - dp_max2) / (double)denom + 5)
+            ? (int32_t)(54.0f * identity * (float)(dp_max - (int)dp_max2)
+                        / (float)denom + 5.0f)
             : 60;
     } else r0->mapq = 60;
 }
@@ -589,7 +615,7 @@ static char *srf_write_sam(char *p, const srf_reg_t *r,
  * SAM params (hit.c:494-557) and write final SAM records.
  *
  * packed row layout (pipeline/device_step.py pack_outputs/pack_ops):
- * (3 + 13*K) little-endian int32 meta columns, then K op streams of
+ * (3 + 14*K) little-endian int32 meta columns, then K op streams of
  * 2*Lmax/4 bytes (2-bit ops, back-to-front).
  *
  * rec_offs[i]..rec_offs[i+1] spans read i's records in out_buf; done[i]=0
@@ -610,13 +636,19 @@ int64_t sr_finish_batch(
     char *out_buf, int64_t out_cap,
     int64_t *rec_offs, uint8_t *done) {
     const int64_t F = 3 + 14 * K;
+    const int64_t max_regs = K < SRF_MAX_REGS ? SRF_MAX_REGS : K;
     char *p = out_buf;
     char *end = out_buf + out_cap;
     srf_reg_t *regs = (srf_reg_t *)__builtin_malloc(
-        sizeof(srf_reg_t) * (size_t)(K < SRF_MAX_REGS ? SRF_MAX_REGS : K));
-    srf_reg_t *order[SRF_MAX_REGS];
+        sizeof(srf_reg_t) * (size_t)max_regs);
+    srf_reg_t **order = (srf_reg_t **)__builtin_malloc(
+        sizeof(srf_reg_t *) * (size_t)max_regs);
     uint8_t qwin[1024], twin[1024];
-    if (!regs) return -1;
+    if (!regs || !order) {
+        if (regs) __builtin_free(regs);
+        if (order) __builtin_free(order);
+        return -1;
+    }
     for (int64_t i = 0; i < B; i++) {
         rec_offs[i] = p - out_buf;
         const int32_t *meta = meta_arr + i * F;
@@ -636,7 +668,8 @@ int64_t sr_finish_batch(
             int32_t exact = meta[3 + 9 * K + c];
             int32_t dp_score = meta[3 + 10 * K + c];
             srf_reg_t *r = &regs[n_regs];
-            memset(r, 0, sizeof(*r) - sizeof(r->cig) - sizeof(r->n_cig));
+            /* zero the scalar head only — cig[] is big and overwritten */
+            memset(r, 0, __builtin_offsetof(srf_reg_t, cig));
             r->n_cig = 0;
             r->rid = chrom; r->rev = rev;
             r->qs = so; r->qe = eo + 1; r->rs = ts; r->re = te + 1;
@@ -708,11 +741,12 @@ int64_t sr_finish_batch(
         const char *seq = seq_blob + seq_offs[i];
         const char *qual = qual_blob + qual_offs[i];
         int64_t qual_len = qual_offs[i + 1] - qual_offs[i];
-        /* space check: worst record ~ name + 2*(seq+qual) + tags + SA */
-        int64_t need = (name_len + 2 * qlen + qual_len + 320 +
-                        (n_regs > 1 ? n_regs * 96 : 0));
         if (n_regs == 0) {
-            if (end - p < need) { __builtin_free(regs); return -1; }
+            int64_t need = srf_rec_bound(NULL, NULL, 0, name_len, qlen,
+                                         qual_len, ref_name_offs);
+            if (end - p < need) {
+                __builtin_free(regs); __builtin_free(order); return -1;
+            }
             p = srf_write_sam(p, NULL, NULL, 0, name, name_len, seq, qlen,
                               qual, qual_len, ref_names_blob, ref_name_offs,
                               (int)softclip, rep_len);
@@ -721,7 +755,11 @@ int64_t sr_finish_batch(
             for (int64_t k = 0; k < n_regs; k++) {
                 const srf_reg_t *r = order[k];
                 if (no_print_2nd && r->parent != r->id) continue;
-                if (end - p < need) { __builtin_free(regs); return -1; }
+                int64_t need = srf_rec_bound(r, order, n_regs, name_len,
+                                             qlen, qual_len, ref_name_offs);
+                if (end - p < need) {
+                    __builtin_free(regs); __builtin_free(order); return -1;
+                }
                 p = srf_write_sam(p, r, order, n_regs, name, name_len, seq,
                                   qlen, qual, qual_len, ref_names_blob,
                                   ref_name_offs, (int)softclip, rep_len);
@@ -730,6 +768,7 @@ int64_t sr_finish_batch(
     }
     rec_offs[B] = p - out_buf;
     __builtin_free(regs);
+    __builtin_free(order);
     return p - out_buf;
 }
 
