@@ -42,9 +42,10 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)  # np: a module-level jnp constant would initialize the backend at import (breaks jax.distributed)
 
 
 def hash64(key: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

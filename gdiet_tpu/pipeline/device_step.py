@@ -45,7 +45,7 @@ from gdiet_tpu.index.build import DietIndex
 from gdiet_tpu.ops import dp as dpk
 from gdiet_tpu.ops.sketch import sketch_emit
 
-U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)  # np: a module-level jnp constant would initialize the backend at import (breaks jax.distributed)
 U32 = 0xFFFFFFFF
 I64 = jnp.int64
 
@@ -363,7 +363,7 @@ def _to_i32_dev(v):
 
 
 def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None,
-                      band_budget=None):
+                      band_budget=None, unroll=None):
     """Device ksw_backtrack (ksw2.h:131-163): walk the direction bytes from
     the terminal corner, emitting one op per step into a [SMAX, N] tensor.
 

@@ -19,11 +19,12 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from gdiet_tpu.pipeline.device_step import StepConfig, collect_hits
 
-U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)  # np: a module-level jnp constant would initialize the backend at import (breaks jax.distributed)
 U32 = 0xFFFFFFFF
 I64 = jnp.int64
 
