@@ -74,15 +74,17 @@ def gen_data():
     return fa, fq
 
 
-def build_reference_binary() -> pathlib.Path | None:
-    exe = REF_BUILD / "GDiet"
+def build_reference_binary(target: str = "GDiet") -> pathlib.Path | None:
+    """Build a reference binary (`GDiet` scalar or `GDiet_avx` AVX-512)."""
+    exe = REF_BUILD / target
     if exe.exists():
         return exe
     try:
         REF_BUILD.parent.mkdir(parents=True, exist_ok=True)
-        subprocess.run(["cp", "-r", REF_SRC, str(REF_BUILD)], check=True)
+        if not REF_BUILD.exists():
+            subprocess.run(["cp", "-r", REF_SRC, str(REF_BUILD)], check=True)
         subprocess.run(
-            ["make", "GDiet"], cwd=REF_BUILD, check=True,
+            ["make", target], cwd=REF_BUILD, check=True,
             capture_output=True, timeout=600,
         )
         return exe if exe.exists() else None
@@ -91,29 +93,40 @@ def build_reference_binary() -> pathlib.Path | None:
         return None
 
 
-def baseline_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> float | None:
-    cache = BENCH_DIR / "baseline.json"
-    if cache.exists():
-        return json.loads(cache.read_text())["reads_per_sec"]
-    exe = build_reference_binary()
-    if exe is None:
-        return None
+def baseline_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> dict:
+    """Freshly time BOTH reference binaries, warm page cache, best of 3.
+
+    The target named by BASELINE.md is `GDiet_avx` single-socket; the scalar
+    `GDiet` number is reported alongside. No caching across runs: SCALE.md
+    documents 8x cold/warm swings on this box, so the first (cold) run is a
+    discarded warmup and the reported number is the best of 3 warm runs.
+    """
+    out: dict = {}
     idx = BENCH_DIR / "ref.gdi.mmi"
-    if not idx.exists():
-        subprocess.run(
-            [str(exe), *REF_ARGS, "-d", str(idx), str(fa)],
-            check=True, capture_output=True, timeout=600,
-        )
-    t0 = time.perf_counter()
-    subprocess.run(
-        [str(exe), *REF_ARGS, "-o", str(BENCH_DIR / "ref_out.sam"), str(idx), str(fq)],
-        check=True, capture_output=True, timeout=1800,
-    )
-    dt = time.perf_counter() - t0
-    rps = N_READS / dt
-    cache.write_text(json.dumps({"reads_per_sec": rps, "seconds": dt}))
-    log(f"reference GDiet: {dt:.2f}s -> {rps:.0f} reads/s")
-    return rps
+    for target, key in (("GDiet", "ref_scalar"), ("GDiet_avx", "ref_avx")):
+        exe = build_reference_binary(target)
+        if exe is None:
+            continue
+        if not idx.exists():
+            subprocess.run(
+                [str(exe), *REF_ARGS, "-d", str(idx), str(fa)],
+                check=True, capture_output=True, timeout=600,
+            )
+        best = None
+        for it in range(4):  # iteration 0 = cold warmup, discarded
+            t0 = time.perf_counter()
+            subprocess.run(
+                [str(exe), *REF_ARGS, "-o", str(BENCH_DIR / "ref_out.sam"),
+                 str(idx), str(fq)],
+                check=True, capture_output=True, timeout=1800,
+            )
+            dt = time.perf_counter() - t0
+            if it > 0 and (best is None or dt < best):
+                best = dt
+        rps = N_READS / best
+        out[f"{key}_reads_per_sec"] = round(rps, 1)
+        log(f"reference {target}: {best:.2f}s -> {rps:.0f} reads/s (warm best of 3)")
+    return out
 
 
 def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
@@ -154,40 +167,24 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
     mapper.map_batch(reads[:B])
     log(f"compile+warmup batch: {time.perf_counter() - t0:.1f}s")
 
-    batches, tails = [], []
+    batches = []
     for s in range(0, len(reads), B):
         batch = reads[s : s + B]
-        tails.append(len(batch))
         if len(batch) < B:  # pad tail to the compiled batch shape
-            batch = batch + [batch[0]] * (B - len(batch))
-        batches.append(batch)
+            batches.append((batch + [batch[0]] * (B - len(batch)), len(batch)))
+        else:
+            batches.append(batch)
 
-    # tail batches are padded to the compiled shape; cut their SAM blobs at
-    # the last real read's records by counting newlines per real read later
+    from gdiet_tpu.utils.profile import PROFILE
+
     blobs = []
+    PROFILE.reset()
     t0 = time.perf_counter()
-    for (batch, n_real), blob in zip(
-        zip(batches, tails), mapper.map_stream_sam(iter(batches))
-    ):
-        if n_real < len(batch):
-            # records are newline-terminated and reads appear in order;
-            # padded reads are copies of batch[0] -> drop them by re-running
-            # the span cut: find the byte offset after n_real reads' records
-            lines = blob.split(b"\n")
-            kept, seen, last_name = [], 0, None
-            for ln in lines:
-                if not ln:
-                    continue
-                nm = ln.split(b"\t", 1)[0]
-                if nm != last_name:
-                    seen += 1
-                    last_name = nm
-                if seen > n_real:
-                    break
-                kept.append(ln)
-            blob = b"\n".join(kept) + b"\n"
+    for blob in mapper.map_stream_sam(iter(batches)):
         blobs.append(blob)
     dt = time.perf_counter() - t0
+    for ln in PROFILE.report().splitlines():
+        log(ln)
     body = b"".join(blobs)
     with open(BENCH_DIR / "ours_out.sam", "wb") as f:
         f.write(samio.sam_header(mi.names, [int(x) for x in mi.lengths]).encode())
@@ -303,17 +300,7 @@ def lr_stats(fa: pathlib.Path) -> dict:
     for (n_real, b), res in zip(batches(), gen):
         n_done += n_real
         for rec, regs in zip(b[:n_real], res[:n_real]):
-            if regs:
-                for r in regs:
-                    if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
-                        continue
-                    all_lines.append(samio.sam_record(
-                        rec.name, rec.seq, rec.qual, r, regs, mi.names,
-                        mo.flag, 0))
-            else:
-                all_lines.append(samio.sam_record(
-                    rec.name, rec.seq, rec.qual, None, [], mi.names,
-                    mo.flag, 0))
+            all_lines.extend(mapper.regs_to_sam_lines(rec, regs))
     out["lr_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 1)
     ref_sam = BENCH_DIR / "lr_ref.sam"
     if ref_sam.exists():
@@ -409,20 +396,29 @@ def ont_stats(fa: pathlib.Path) -> dict:
             b = reads[s0 : s0 + B]
             yield len(b), (b + [b[0]] * (B - len(b)) if len(b) < B else b)
 
-    n_fb = 0
-    for _, b in batches():  # compile + count device-path coverage
+    for _, b in batches():  # compile every batch shape
         for res in mapper.map_stream(iter([b])):
             pass
+    mapper.stats = {"fallback_reads": 0, "n_reads": 0}
     t0 = time.perf_counter()
     n_done = 0
-    for (n_real, _), res in zip(batches(),
+    n_fb = 0
+    all_lines = []
+    for (n_real, b), res in zip(batches(),
                                 mapper.map_stream(b for _, b in batches())):
         n_done += n_real
-        n_fb += sum(1 for i in range(n_real)
-                    if getattr(mapper, "last_host_only", None) is not None
-                    and mapper.last_host_only[i])
+        n_fb += int(mapper.last_host_only[:n_real].sum())
+        for rec, regs in zip(b[:n_real], res[:n_real]):
+            all_lines.extend(mapper.regs_to_sam_lines(rec, regs))
     out["ont_reads_per_sec"] = round(n_done / (time.perf_counter() - t0), 2)
-    out["ont_oracle_fallbacks"] = n_fb
+    out["ont_oracle_fallbacks"] = n_fb  # measured per batch (real reads only)
+    ref_sam = BENCH_DIR / "ont_ref.sam"
+    if ref_sam.exists():
+        ref_lines = [l for l in ref_sam.read_text().splitlines()
+                     if not l.startswith("@")]
+        same = sum(a == b_ for a, b_ in zip(all_lines, ref_lines))
+        out["ont_sam_parity"] = round(
+            same / max(len(ref_lines), len(all_lines), 1), 4)
     return out
 
 
@@ -471,12 +467,16 @@ def check_parity() -> float | None:
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet")
     fa, fq = gen_data()
-    base = baseline_reads_per_sec(fa, fq)
+    base_stats = baseline_reads_per_sec(fa, fq)
+    # vs_baseline target = GDiet_avx (BASELINE.md); scalar as fallback anchor
+    base = base_stats.get("ref_avx_reads_per_sec") or \
+        base_stats.get("ref_scalar_reads_per_sec")
     try:
         mcups = mcups_stat()
     except Exception:
         mcups = 0.0
     ours, stats = our_reads_per_sec(fa, fq)
+    stats.update(base_stats)
     parity = check_parity()
     result = {
         "metric": "sr_reads_per_sec_1chip",

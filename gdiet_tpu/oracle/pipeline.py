@@ -35,16 +35,24 @@ def map_read(
     qname: str | None = None,
 ) -> list[oal.Reg]:
     """mm_map_frag for a single unpaired read (n_segs=1)."""
+    import time as _time
+
+    from gdiet_tpu.utils.profile import PROFILE, Stage
+
     qlen = len(seq)
     if qlen == 0 or (mo.max_qlen > 0 and qlen > mo.max_qlen):
         return []
     codes = osk.seq_to_code(seq)
+    _t = _time.perf_counter_ns()
 
     # ---- phase 1: pattern alignment (shift inference), map.c:607-616 ----
     seeds2, counts = osk.sketch_shifts(
         codes, mi.w, mi.k, mo.pattern, mo.max_seeds, seq=seq
     )
     shift = osd.get_shift(mi, seeds2, counts)
+    _t2 = _time.perf_counter_ns()
+    PROFILE.add(Stage.PATTERN_ALIGNMENT, _t2 - _t)
+    _t = _t2
 
     # ---- phase 2: seeding, map.c:620-662 ----
     max_nb_seeds = (
@@ -90,6 +98,10 @@ def map_read(
                     mi.names[int(t) >> 32], _i32((int(t) & U32) + 1), int(q))
             )
 
+    _t2 = _time.perf_counter_ns()
+    PROFILE.add(Stage.SEEDING, _t2 - _t)
+    _t = _t2
+
     # ---- phase 3: voting, map.c:663-699 ----
     capped = (mo.flag & MM_F_FRAG_MODE) and tmp_extracted_len < qlen
     vt_threshold = int(max_nb_seeds * mo.min_cnt) if capped else int(n_mv * mo.min_cnt)
@@ -118,6 +130,9 @@ def map_read(
                     "+-"[cand.strand], cand.first_query_loc,
                     cand.last_query_loc, cand.score)
             )
+    _t2 = _time.perf_counter_ns()
+    PROFILE.add(Stage.VOTING, _t2 - _t)
+    _t = _t2
     if not potentials:
         if not recovery:
             return []
@@ -252,6 +267,7 @@ def map_read(
     max_nb_sec = 0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n
     if regs:
         set_sam_params(regs, qlen, mo.a, max_nb_sec)
+    PROFILE.add(Stage.SEQUENCE_ALIGNMENT, _time.perf_counter_ns() - _t)
     return regs
 
 
@@ -300,9 +316,22 @@ def set_sam_params(regs: list[oal.Reg], qlen: int, match_score: int, max_nb_sec:
     elif nb_sec == 2:
         r0.mapq = 5
     elif nb_sec == 1:
+        # hit.c:551-553 computes the chain in FLOAT (identity is float);
+        # replicate float32 rounding so truncation matches at boundaries.
+        # denom==0 would be float div-by-zero UB in the reference; mapq 60
+        # is our documented deviation (same as native srf_set_sam_params).
+        import numpy as _np
+
         dp_max = r0.score
-        identity = r0.mlen / r0.blen if r0.blen else 0.0
+        identity = (
+            _np.float32(r0.mlen) / _np.float32(r0.blen) if r0.blen else
+            _np.float32(0.0)
+        )
         denom = qlen * match_score - dp_max2
-        r0.mapq = int(54 * identity * (dp_max - dp_max2) / denom + 5) if denom else 60
+        r0.mapq = (
+            int(_np.float32(54) * identity * _np.float32(dp_max - dp_max2)
+                / _np.float32(denom) + _np.float32(5))
+            if denom else 60
+        )
     else:
         r0.mapq = 60

@@ -58,6 +58,9 @@ class LongReadMapper:
         self.Lmax = max_read_len
         self.device_enabled = device
         self._oracle_index = None
+        # measured per-run counters (reset by callers as needed): reads that
+        # left the device envelope and took the scalar oracle
+        self.stats = {"fallback_reads": 0, "n_reads": 0}
 
         from gdiet_tpu import pattern as pat
 
@@ -136,6 +139,28 @@ class LongReadMapper:
         if midded is not None:
             yield self._tail_batch(midded)
 
+    def regs_to_sam_lines(self, rec: SeqRecord, regs, rep_len: int = 0):
+        """Final SAM record lines for one read (the single library path used
+        by CLI, bench and tests — format.c:412-602 semantics via io/sam.py)."""
+        from gdiet_tpu.io import sam as samio
+
+        mo = self.mo
+        lines = []
+        if regs:
+            for r in regs:
+                if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                    continue
+                lines.append(samio.sam_record(
+                    rec.name, rec.seq, rec.qual, r, regs, self.mi.names,
+                    mo.flag, rep_len, index=self.mi,
+                ))
+        else:
+            lines.append(samio.sam_record(
+                rec.name, rec.seq, rec.qual, None, [], self.mi.names,
+                mo.flag, rep_len,
+            ))
+        return lines
+
     def _start_batch(self, reads):
         B = len(reads)
         results: list[list[oal.Reg] | None] = [None] * B
@@ -176,6 +201,11 @@ class LongReadMapper:
             for j, i in enumerate(device_idx):
                 if fb[j]:
                     host_only[i] = True
+        self.stats["fallback_reads"] += int(host_only.sum())
+        self.stats["n_reads"] += len(reads)
+        # per-batch mask for callers that pad batches and must count only
+        # real reads (bench.py ont_stats)
+        self.last_host_only = host_only
         for i in np.where(host_only)[0]:
             results[i] = olr.map_read_lr(
                 self._oracle_mi(), reads[i].seq, self.mo, self.mid_occ,
@@ -215,10 +245,14 @@ class LongReadMapper:
         return codes, cov_thr, vt_dis, out
 
     def _map_device_mid(self, reads, lens_np, results, result_idx, front):
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
         mo, mi, cfg = self.mo, self.mi, self.cfg
         B = len(reads)
         codes, cov_thr, vt_dis, out = front
-        meta = unpack_lr_meta(np.asarray(out["meta"]), cfg.K)
+        with PROFILE.stage(Stage.DEVICE_FUSED):
+            # blocks on the fused front (sketch+lookup+vote) D2H
+            meta = unpack_lr_meta(np.asarray(out["meta"]), cfg.K)
         fallback = meta["fallback"].copy()
         kept_len = meta["kept_len"]
         k_score = meta["k_score"]
@@ -303,6 +337,8 @@ class LongReadMapper:
                 all_jobs, ezs, pending)
 
     def _map_device_tail(self, dev):
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
         (results, result_idx, lens_np, fallback, per_read, strands,
          all_jobs, ezs, pending) = dev
         mo = self.mo
@@ -310,20 +346,21 @@ class LongReadMapper:
         self._align_jobs_fetch(ezs, pending)
 
         # ---- finish per read ----
-        by_read: dict[int, tuple[list, list]] = {}
-        for (i, job), ez in zip(all_jobs, ezs):
-            by_read.setdefault(i, ([], []))
-            by_read[i][0].append(job)
-            by_read[i][1].append(ez)
-        for i in range(B):
-            if fallback[i] or per_read[i] is None or not per_read[i]:
-                continue
-            jobs, ez_list = by_read.get(i, ([], []))
-            qs_for, qs_rev = strands[i]
-            results[result_idx[i]] = olr.finalize_read(
-                self._oracle_mi(), mo, qs_for, qs_rev, int(lens_np[i]),
-                per_read[i], jobs, ez_list,
-            )
+        with PROFILE.stage(Stage.HOST_FINISH):
+            by_read: dict[int, tuple[list, list]] = {}
+            for (i, job), ez in zip(all_jobs, ezs):
+                by_read.setdefault(i, ([], []))
+                by_read[i][0].append(job)
+                by_read[i][1].append(ez)
+            for i in range(B):
+                if fallback[i] or per_read[i] is None or not per_read[i]:
+                    continue
+                jobs, ez_list = by_read.get(i, ([], []))
+                qs_for, qs_rev = strands[i]
+                results[result_idx[i]] = olr.finalize_read(
+                    self._oracle_mi(), mo, qs_for, qs_rev, int(lens_np[i]),
+                    per_read[i], jobs, ez_list,
+                )
         return fallback
 
     # ------------------------------------------------------------------
@@ -423,8 +460,11 @@ class LongReadMapper:
         from gdiet_tpu import native
         from gdiet_tpu.pipeline.device_step import unpack_ops
 
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
         for sub, qlens, dev in pending:
-            packed = np.asarray(dev)
+            with PROFILE.stage(Stage.DEVICE_FUSED):  # segment-DP D2H block
+                packed = np.asarray(dev)
             score = packed[:, :4].copy().view(np.int32)[:, 0]
             fin_i = packed[:, 4:8].copy().view(np.int32)[:, 0]
             fin_j = packed[:, 8:12].copy().view(np.int32)[:, 0]

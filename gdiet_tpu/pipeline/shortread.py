@@ -16,6 +16,7 @@ preserving exactness everywhere.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -102,12 +103,21 @@ class ShortReadMapper:
         design from SURVEY.md §7: a second compiled tier keeps repeat-heavy
         reads on device instead of the scalar oracle."""
         S, S2, A2 = self._retry_args
-        if A2 <= self.fused.cfg.A or self.mesh is not None:
+        cfg = self.fused.cfg
+        # the tier pays off whenever ANY envelope dimension widens: hit
+        # budget, seed budget, or the DP-row budget (dp_frac < 1 makes
+        # DP-row overflow the common fallback cause under CLI defaults)
+        wider = (A2 > cfg.A) or (min(4 * S, 256) > cfg.S) or (cfg.dp_frac < 1.0)
+        if not wider:
             return None
         if self._retry_fused is None:
+            # always an UN-meshed single-device mapper: overflow reads are
+            # rare, so retrying them locally keeps the mesh path simple
+            # while preserving the tier under --mesh (map.c:1094-1163
+            # semantics must hold under sharding too)
             self._retry_fused = FusedMapper(
                 self.mi, self.mo, Lmax=self.Lmax, S=min(4 * S, 256), S2=S2,
-                A=A2, dp_frac=1.0,
+                A=max(A2, cfg.A), dp_frac=1.0,
             )
         return self._retry_fused
 
@@ -259,12 +269,18 @@ class ShortReadMapper:
         per batch (native/gdiet_native.c sr_finish_batch); only
         out-of-envelope reads take the Python oracle.
 
+        A batch may be a plain list of reads or a ``(reads, n_real)`` tuple:
+        callers padding the tail batch to the compiled shape pass the real
+        read count and only those reads' records are emitted.
+
         Also accumulates ``self.stats`` = {"fallback_reads", "n_records"}.
         """
         self.stats = {"fallback_reads": 0, "n_records": 0}
         prev = None
         for batch in batches:
-            state = self._prepare_and_dispatch(batch)
+            batch, n_real = (batch if isinstance(batch, tuple)
+                             else (batch, len(batch)))
+            state = (*self._prepare_and_dispatch(batch), n_real)
             if prev is not None:
                 yield self._finish_sam(prev, rep_len)
             prev = state
@@ -297,32 +313,38 @@ class ShortReadMapper:
     def _finish_sam(self, state, rep_len: int) -> bytes:
         from gdiet_tpu.config import MM_F_SOFTCLIP
 
-        reads, codes, lens, host_only, device_idx, dev = state
+        reads, codes, lens, host_only, device_idx, dev, n_real = state
         mo = self.mo
         B = len(reads)
         spans: list = [None] * B
         buf = b""
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
         if dev is not None:
-            meta_np = self._meta_host(dev, len(device_idx))
-            ops_np = np.asarray(dev["ops"])
+            with PROFILE.stage(Stage.DEVICE_FUSED):
+                # blocks until the fused dispatch + D2H copies complete:
+                # this is the device's pattern+seed+vote+align time
+                meta_np = self._meta_host(dev, len(device_idx))
+                ops_np = np.asarray(dev["ops"])
             di = device_idx
-            res = native.sr_finish_batch(
-                meta_np, ops_np, self.fused.cfg.K, self.fused.cfg.Lmax,
-                codes[di], lens[di],
-                [reads[i].name for i in di],
-                [reads[i].seq for i in di],
-                [reads[i].qual or "" for i in di],
-                self.mi.codes, self.mi.seq_offsets,
-                self._ref_names_blob, self._ref_name_offs,
-                mo.a, mo.b, mo.q, mo.e, mo.min_dp_max,
-                0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n,
-                bool(mo.flag & MM_F_NO_PRINT_2ND),
-                bool(mo.flag & MM_F_SOFTCLIP), rep_len,
-            )
+            with PROFILE.stage(Stage.HOST_FINISH):
+                res = native.sr_finish_batch(
+                    meta_np, ops_np, self.fused.cfg.K, self.fused.cfg.Lmax,
+                    codes[di], lens[di],
+                    [reads[i].name for i in di],
+                    [reads[i].seq for i in di],
+                    [reads[i].qual or "" for i in di],
+                    self.mi.codes, self.mi.seq_offsets,
+                    self._ref_names_blob, self._ref_name_offs,
+                    mo.a, mo.b, mo.q, mo.e, mo.min_dp_max,
+                    0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n,
+                    bool(mo.flag & MM_F_NO_PRINT_2ND),
+                    bool(mo.flag & MM_F_SOFTCLIP), rep_len,
+                )
             if res is None:  # no native library: regs path + Python writer
-                results = self._finish(state)
+                results = self._finish(state[:6])
                 out = []
-                for rec, regs in zip(reads, results):
+                for rec, regs in zip(reads[:n_real], results[:n_real]):
                     out.append(self._regs_to_sam(rec, regs, rep_len))
                 return b"".join(out)
             buf, rec_offs, done = res
@@ -330,7 +352,7 @@ class ShortReadMapper:
                 if done[j]:
                     spans[i] = (int(rec_offs[j]), int(rec_offs[j + 1]))
         retry_regs: dict[int, list] = {}
-        retry_i = [i for i in range(B)
+        retry_i = [i for i in range(n_real)
                    if spans[i] is None and not host_only[i]]
         if retry_i:  # second, wider-budget device tier before the oracle
             retried = self._retry_batch_regs([reads[i] for i in retry_i])
@@ -340,7 +362,7 @@ class ShortReadMapper:
             self.stats["retried_reads"] = (
                 self.stats.get("retried_reads", 0) + len(retry_i)
             )
-        oracle_i = [i for i in range(B)
+        oracle_i = [i for i in range(n_real)
                     if spans[i] is None and i not in retry_regs]
         oracle_blobs = dict(zip(oracle_i, self._map_oracle(
             lambda i: self._oracle_sam(reads[i], rep_len), oracle_i,
@@ -349,11 +371,11 @@ class ShortReadMapper:
         out = []
         n_fb = 0
         i = 0
-        while i < B:
+        while i < n_real:
             if spans[i] is not None:
                 s0 = spans[i][0]
                 e0 = spans[i][1]
-                while i + 1 < B and spans[i + 1] is not None \
+                while i + 1 < n_real and spans[i + 1] is not None \
                         and spans[i + 1][0] == e0:
                     i += 1
                     e0 = spans[i][1]
@@ -431,15 +453,19 @@ class ShortReadMapper:
         fix-ups are rebuilt host-side from the local read codes and
         reference codes.
         """
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
         mo, mi = self.mo, self.mi
         fused = fused or self.fused
         B = len(lens_np)
         K = fused.cfg.K
-        out = unpack_outputs(
-            self._meta_host(dev, B) if fused is self.fused
-            else np.asarray(dev["meta"]), K
-        )
-        ops2 = np.asarray(dev["ops"])
+        with PROFILE.stage(Stage.DEVICE_FUSED):
+            out = unpack_outputs(
+                self._meta_host(dev, B) if fused is self.fused
+                else np.asarray(dev["meta"]), K
+            )
+            ops2 = np.asarray(dev["ops"])
+        _t_host = time.perf_counter_ns()
 
         fallback = out["fallback"]
         live = out["c_valid"] & ~fallback[:, None]
@@ -534,4 +560,5 @@ class ShortReadMapper:
         for i in range(B):
             if not fallback[i] and regs_per_read[i]:
                 set_sam_params(regs_per_read[i], int(lens_np[i]), mo.a, max_nb_sec)
+        PROFILE.add(Stage.HOST_FINISH, time.perf_counter_ns() - _t_host)
         return regs_per_read, fallback

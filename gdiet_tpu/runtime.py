@@ -188,6 +188,98 @@ def run_split_mapping(
     return 0
 
 
+def _run_sr_sam_fast(
+    mi: DietIndex,
+    mo: MapOptions,
+    query: str,
+    out_path: str | None,
+    n_threads: int,
+    verbose: int,
+    cli_line: str,
+    t0: float,
+    batch_reads: int = 8192,
+) -> int:
+    """SR+SAM hot path: the benched ``map_stream_sam`` pipeline (fused device
+    step -> native C batch finish -> SAM bytes) IS the CLI path, so README
+    command users get the benchmark's throughput (one-path behavior of the
+    reference's main.c:576-672). Budgets are the bench-tuned envelope scaled
+    to the observed read length; out-of-envelope reads retry on the wider
+    tier, then the oracle — output is identical to the generic path."""
+    from gdiet_tpu.pipeline.shortread import ShortReadMapper
+
+    mesh = None
+    if mo.mesh_shape is not None:
+        from gdiet_tpu.parallel.dist import make_mesh
+
+        mesh = make_mesh(*mo.mesh_shape)
+        _log(verbose, t0, f"multi-chip mesh: data={mo.mesh_shape[0]} "
+             f"ref={mo.mesh_shape[1]}")
+
+    rdr = read_fastx(query)
+    first: list[SeqRecord] = []
+    for rec in rdr:
+        first.append(rec)
+        if len(first) >= batch_reads:
+            break
+    bout = (open(out_path, "wb") if out_path and out_path != "-"
+            else sys.stdout.buffer)
+    bout.write(samio.sam_header(
+        mi.names, [int(x) for x in mi.lengths], cli_line, __version__
+    ).encode())
+    n_mapped = 0
+    if first:
+        # fixed compiled batch shape: full size for big inputs, the next
+        # power of two for small ones (tail batches are padded)
+        B = 1
+        while B < len(first):
+            B <<= 1
+        B = min(B, batch_reads)
+        L0 = max(r.l_seq for r in first)
+        Lmax = min(304, -(-max(L0, 64) // 16) * 16)
+        scale = -(-Lmax // 160)  # bench budgets are tuned at Lmax=160
+        mapper = ShortReadMapper(
+            mi, mo, max_read_len=Lmax, seed_budget=32 * scale,
+            shift_seed_budget=16 * scale, hit_budget=64 * scale,
+            dp_frac=0.3125, mesh=mesh, n_threads=n_threads,
+        )
+
+        counter = [0]
+
+        def batches():
+            buf = first
+            for rec in rdr:
+                if len(buf) == B:
+                    counter[0] += len(buf)
+                    yield buf
+                    buf = []
+                buf.append(rec)
+            counter[0] += len(buf)
+            if len(buf) == B:
+                yield buf
+            elif buf:
+                yield (buf + [buf[0]] * (B - len(buf)), len(buf))
+
+        # per-stage profile (DEVICE_FUSED/HOST_FINISH + oracle stages) is
+        # recorded inside the mapper; total wall time is the Real time line
+        for blob in mapper.map_stream_sam(batches()):
+            bout.write(blob)
+        n_mapped = counter[0]
+    if bout is not sys.stdout.buffer:
+        bout.close()
+    _log(verbose, t0, f"mapped {n_mapped} sequences")
+    if verbose >= 3:
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"[M::gdiet] Version: {__version__}", file=sys.stderr)
+        print(f"[M::gdiet] CMD: {cli_line}", file=sys.stderr)
+        print(
+            f"[M::gdiet] Real time: {time.perf_counter() - t0:.3f} sec; "
+            f"CPU: {time.process_time():.3f} sec; "
+            f"Peak RSS: {rss:.3f} GB", file=sys.stderr,
+        )
+        PROFILE.report(sys.stderr)
+    return 0
+
+
 def run_mapping(
     io: IndexOptions,
     mo: MapOptions,
@@ -237,8 +329,30 @@ def run_mapping(
         if not queries:
             return 0
 
-    out = open(out_path, "w") if out_path and out_path != "-" else sys.stdout
     sam_mode = bool(mo.flag & MM_F_OUT_SAM)
+
+    # SR + plain SAM single-end runs take the benched fused path (native
+    # batch finish); features the native writer doesn't cover (PE, MD/cs,
+    # long-CIGAR tag, comment copying, --print-seeds, sdust) use the
+    # per-record Python writer below
+    from gdiet_tpu import debug as _debug
+    from gdiet_tpu import native as _native
+    from gdiet_tpu.config import (
+        MM_F_COPY_COMMENT, MM_F_OUT_CS, MM_F_OUT_CS_LONG, MM_F_OUT_MD,
+    )
+
+    if (
+        variant == "sr" and sam_mode and len(queries) == 1
+        and mo.split_len <= 0 and _native.lib is not None
+        and not (mo.flag & (MM_F_COPY_COMMENT | MM_F_OUT_MD | MM_F_OUT_CS
+                            | MM_F_OUT_CS_LONG | MM_F_OUT_CG))
+        and not _debug.enabled() and mo.sdust_thres <= 0
+        and max_read_len is None
+    ):
+        return _run_sr_sam_fast(mi, mo, queries[0], out_path, n_threads,
+                                verbose, cli_line, t0)
+
+    out = open(out_path, "w") if out_path and out_path != "-" else sys.stdout
 
     if variant == "sr":
         from gdiet_tpu.pipeline.shortread import ShortReadMapper
@@ -338,43 +452,43 @@ def run_mapping(
             flat_batches.append(flat)
             flips.append(flip)
 
-        with PROFILE.stage(Stage.SEQUENCE_ALIGNMENT):
-            for fb, flat, flip, results in zip(
-                frag_batches, flat_batches, flips, mapper.map_stream(flat_batches)
-            ):
-                # proper-pair selection + PE mapq blend on MAPPING-orientation
-                # regs (mm_pair, pe.c:76-177: the s^rev key bit expects the
-                # pe_ori-revcomp'd segment's regs BEFORE the strand flip-back).
-                # The reference's own normal PE path never maps R2 at all —
-                # mm_map_frag reads qlen_sum bytes from seqs[0] (a heap
-                # overread) and never writes regs[1] (map.c:598-744) — so we
-                # deliberately do NOT replicate that undefined behavior: both
-                # ends map independently through the golden-proven single-end
-                # pipeline and are then paired with pe.c's semantics.
-                if mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
-                    from gdiet_tpu.oracle import hit as ohit
+        # per-stage profile is recorded inside the mapper/oracle stages
+        for fb, flat, flip, results in zip(
+            frag_batches, flat_batches, flips, mapper.map_stream(flat_batches)
+        ):
+            # proper-pair selection + PE mapq blend on MAPPING-orientation
+            # regs (mm_pair, pe.c:76-177: the s^rev key bit expects the
+            # pe_ori-revcomp'd segment's regs BEFORE the strand flip-back).
+            # The reference's own normal PE path never maps R2 at all —
+            # mm_map_frag reads qlen_sum bytes from seqs[0] (a heap
+            # overread) and never writes regs[1] (map.c:598-744) — so we
+            # deliberately do NOT replicate that undefined behavior: both
+            # ends map independently through the golden-proven single-end
+            # pipeline and are then paired with pe.c's semantics.
+            if mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
+                from gdiet_tpu.oracle import hit as ohit
 
-                    # the reference's frag_gap is never computed in GDiet;
-                    # bound pairs by the frag-mode fragment budget instead
-                    # (-F / max_frag_len, 800 default — map.c:621-622)
-                    gap = (mo.max_gap_ref if mo.max_gap_ref >= 0
-                           else max(mo.max_gap, mo.max_frag_len or 800))
-                    kk = 0
-                    for frag in fb:
-                        if len(frag) == 2 and results[kk] is not None \
-                                and results[kk + 1] is not None:
-                            ohit.pair(
-                                gap, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
-                                [flat[kk].l_seq, flat[kk + 1].l_seq],
-                                [results[kk], results[kk + 1]],
-                            )
-                        kk += len(frag)
-                for idx in flip:  # flip back to the original read strand
-                    qlen = flat[idx].l_seq
-                    for r in results[idx] or []:
-                        r.qs, r.qe = qlen - r.qe, qlen - r.qs
-                        r.rev = 0 if r.rev else 1
-                emit_frags(fb, results)
+                # the reference's frag_gap is never computed in GDiet;
+                # bound pairs by the frag-mode fragment budget instead
+                # (-F / max_frag_len, 800 default — map.c:621-622)
+                gap = (mo.max_gap_ref if mo.max_gap_ref >= 0
+                       else max(mo.max_gap, mo.max_frag_len or 800))
+                kk = 0
+                for frag in fb:
+                    if len(frag) == 2 and results[kk] is not None \
+                            and results[kk + 1] is not None:
+                        ohit.pair(
+                            gap, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
+                            [flat[kk].l_seq, flat[kk + 1].l_seq],
+                            [results[kk], results[kk + 1]],
+                        )
+                    kk += len(frag)
+            for idx in flip:  # flip back to the original read strand
+                qlen = flat[idx].l_seq
+                for r in results[idx] or []:
+                    r.qs, r.qe = qlen - r.qe, qlen - r.qs
+                    r.rev = 0 if r.rev else 1
+            emit_frags(fb, results)
         _log(verbose, t0, f"mapped {n_mapped} sequences")
 
     if out is not sys.stdout:

@@ -10,6 +10,7 @@ stage and reported both ways.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -30,6 +31,9 @@ class Profiler:
     def __init__(self):
         self.ns = defaultdict(int)
         self.enabled = True
+        # the reference uses atomic counters (profile.h:20-24); the oracle
+        # fallback path runs under a -t thread pool, so adds must be atomic
+        self._lock = threading.Lock()
 
     @contextmanager
     def stage(self, s: Stage):
@@ -40,10 +44,11 @@ class Profiler:
         try:
             yield
         finally:
-            self.ns[s] += time.perf_counter_ns() - t0
+            self.add(s, time.perf_counter_ns() - t0)
 
     def add(self, s: Stage, ns: int):
-        self.ns[s] += ns
+        with self._lock:
+            self.ns[s] += ns
 
     def report(self, out=None) -> str:
         lines = [
