@@ -51,6 +51,7 @@ class LongReadMapper:
         hit_budget: int = 8192,
         device: bool = True,
         vote_budget: int = 0,
+        n_threads: int = 1,
     ):
         self.mi = index
         self.mo = mo
@@ -58,6 +59,12 @@ class LongReadMapper:
         self.Lmax = max_read_len
         self.device_enabled = device
         self._oracle_index = None
+        # -t analog (kt_for, kthread.c:54): the per-read host loops
+        # (prepare_segments / finalize_read / oracle fallbacks) release the
+        # GIL inside numpy and the C oracle kernels, so a thread pool is
+        # the LR host-finish parallelism — same design as ShortReadMapper
+        self.n_threads = max(1, n_threads)
+        self._pool = None
         # measured per-run counters (reset by callers as needed): reads that
         # left the device envelope and took the scalar oracle
         self.stats = {"fallback_reads": 0, "n_reads": 0}
@@ -90,6 +97,17 @@ class LongReadMapper:
             vt_f=float(mo.vt_f), bw=int(mo.bw),
         ))
         self._bucket_fns: dict = {}
+
+    # ------------------------------------------------------------------
+    def _map_parallel(self, fn, items):
+        """Run ``fn`` over items on the -t pool (order-preserving)."""
+        if self.n_threads > 1 and len(items) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.n_threads)
+            return list(self._pool.map(fn, items))
+        return [fn(x) for x in items]
 
     # ------------------------------------------------------------------
     def _oracle_mi(self):
@@ -206,11 +224,16 @@ class LongReadMapper:
         # per-batch mask for callers that pad batches and must count only
         # real reads (bench.py ont_stats)
         self.last_host_only = host_only
-        for i in np.where(host_only)[0]:
-            results[i] = olr.map_read_lr(
+        fb_idx = [int(i) for i in np.where(host_only)[0]]
+        fb_res = self._map_parallel(
+            lambda i: olr.map_read_lr(
                 self._oracle_mi(), reads[i].seq, self.mo, self.mid_occ,
                 reads[i].name,
-            )
+            ),
+            fb_idx,
+        )
+        for i, r in zip(fb_idx, fb_res):
+            results[i] = r
         return results
 
     # ------------------------------------------------------------------
@@ -310,24 +333,33 @@ class LongReadMapper:
                     )
                     olr.accept_round2(cand, mo, mi.k, per_read[i])
 
-        # ---- host: concat graph + window geometry ----
+        # ---- host: concat graph + window geometry (on the -t pool) ----
         all_jobs = []  # (read i, job tuple)
         strands: list[tuple[np.ndarray, np.ndarray] | None] = [None] * B
+        prep_idx = []
         for i in range(B):
             if fallback[i] or per_read[i] is None:
                 continue
-            seqs = per_read[i]
-            if not seqs:
+            if not per_read[i]:
                 results[result_idx[i]] = []
                 continue
+            prep_idx.append(i)
+
+        def _prep(i):
+            seqs = per_read[i]
             olr.build_concat_graph(seqs, mo)
             qlen_sum = int(lens_np[i])
             qs_for = codes[i, :qlen_sum].astype(np.uint8)
             qs_rev = (qs_for[::-1] ^ 0x3).astype(np.uint8)
-            strands[i] = (qs_for, qs_rev)
             jobs = olr.prepare_segments(
                 self._oracle_mi(), mo, qs_for, qs_rev, qlen_sum, seqs
             )
+            return (qs_for, qs_rev), jobs
+
+        for i, (strand, jobs) in zip(
+            prep_idx, self._map_parallel(_prep, prep_idx)
+        ):
+            strands[i] = strand
             for job in jobs:
                 all_jobs.append((i, job))
 
@@ -352,15 +384,21 @@ class LongReadMapper:
                 by_read.setdefault(i, ([], []))
                 by_read[i][0].append(job)
                 by_read[i][1].append(ez)
-            for i in range(B):
-                if fallback[i] or per_read[i] is None or not per_read[i]:
-                    continue
+            fin_idx = [
+                i for i in range(B)
+                if not (fallback[i] or per_read[i] is None or not per_read[i])
+            ]
+
+            def _fin(i):
                 jobs, ez_list = by_read.get(i, ([], []))
                 qs_for, qs_rev = strands[i]
-                results[result_idx[i]] = olr.finalize_read(
+                return olr.finalize_read(
                     self._oracle_mi(), mo, qs_for, qs_rev, int(lens_np[i]),
                     per_read[i], jobs, ez_list,
                 )
+
+            for i, regs in zip(fin_idx, self._map_parallel(_fin, fin_idx)):
+                results[result_idx[i]] = regs
         return fallback
 
     # ------------------------------------------------------------------

@@ -370,7 +370,7 @@ def run_mapping(
     else:
         from gdiet_tpu.pipeline.longread import LongReadMapper
 
-        mapper = LongReadMapper(mi, mo)
+        mapper = LongReadMapper(mi, mo, n_threads=n_threads)
 
     if sam_mode:
         out.write(samio.sam_header(

@@ -14,16 +14,18 @@ from tests.test_longread_oracle import CONFIGS
 pytestmark = pytest.mark.slow
 
 
-@pytest.mark.parametrize("tag", ["hifi", "ont"])
-def test_lr_device_parity(data_dir, tag):
+@pytest.mark.parametrize("tag,n_threads", [("hifi", 1), ("ont", 1), ("hifi", 3)])
+def test_lr_device_parity(data_dir, tag, n_threads):
     cfg = dict(CONFIGS[tag])
     preset = cfg.pop("preset")
     io_, mo = options_for(preset, variant="lr", pattern="10", **cfg)
     refs = [(r.name, r.seq) for r in read_fastx(str(data_dir / "ref_lr.fa"))]
     mi = build_index(refs, io_)
+    # n_threads=3 proves the -t host pool (prepare/finalize/oracle on a
+    # thread pool, kt_for analog) is order-preserving and byte-identical
     mapper = LongReadMapper(
         mi, mo, max_read_len=4096, seed_budget=512, shift_seed_budget=128,
-        hit_budget=1024,
+        hit_budget=1024, n_threads=n_threads,
     )
     reads = list(read_fastx(str(data_dir / "reads_lr.fq")))
     golden = [
