@@ -99,6 +99,20 @@ class DietIndex:
             self._device[name] = jnp.asarray(getattr(self, name))
         return self._device[name]
 
+    def device_packed(self):
+        """Device-resident 2-bit pack of ``codes`` + N bitmask (cached,
+        shared by every mapper on this index — see
+        pipeline.device_step.pack_ref_codes). 4x less HBM than uint8."""
+        if "packed" not in self._device:
+            from gdiet_tpu.pipeline.device_step import pack_ref_codes
+
+            packed, nmask = pack_ref_codes(self.codes)
+            self._device["packed"] = jnp.asarray(packed)
+            self._device["nmask"] = (
+                jnp.asarray(nmask) if nmask is not None else None
+            )
+        return self._device["packed"], self._device["nmask"]
+
     def cal_max_occ(self, f: float) -> int:
         """mm_idx_cal_max_occ (index.c:190-210)."""
         if f <= 0.0 or len(self.keys) == 0:

@@ -134,6 +134,7 @@ def sharded_step(
     from dataclasses import replace as dc_replace
 
     cfg = dc_replace(cfg, bucket_shift=sh.bucket_shift, bucket_iters=sh.bucket_iters)
+    packed, nmask = index.device_packed()
     arrays = dict(
         idx_keys=jnp.asarray(sh.keys),
         idx_vals=jnp.asarray(
@@ -141,20 +142,24 @@ def sharded_step(
         ),
         idx_positions=jnp.asarray(sh.positions),
         idx_buckets=jnp.asarray(sh.buckets),
-        ref_codes=jnp.asarray(index.codes),
+        ref_codes=packed,  # 2-bit pack, replicated per device (4x HBM cut)
         ref_offsets=jnp.asarray(index.seq_offsets),
         ref_lengths=jnp.asarray(index.lengths),
         maps=jnp.asarray(maps),
         pref=jnp.asarray(pref),
     )
+    has_nmask = nmask is not None
+    if has_nmask:
+        arrays["ref_nmask"] = nmask
 
     def local(codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
-              ref_codes, ref_offsets, ref_lengths, maps_, pref_):
+              ref_codes, ref_offsets, ref_lengths, maps_, pref_, *nm):
         return fused_map_step(
             codes, lens,
             idx_keys[0], idx_vals[0], idx_positions[0], idx_buckets[0],
             ref_codes, ref_offsets, ref_lengths, maps_, pref_,
             cfg=cfg, ref_axis="ref", n_ref=n_ref, backtrack=backtrack,
+            ref_nmask=nm[0] if nm else None,
         )
 
     shard_fn = shard_map(
@@ -164,6 +169,7 @@ def sharded_step(
             P("data"), P("data"),
             P("ref"), P("ref"), P("ref"), P("ref"),
             P(), P(), P(), P(), P(),
+            *([P()] if has_nmask else []),
         ),
         # meta rows and compacted op streams are both data-parallel; the
         # ref axis is fully reduced by the psum/all_gather merge inside
@@ -179,6 +185,7 @@ def sharded_step(
             arrays["idx_buckets"],
             arrays["ref_codes"], arrays["ref_offsets"], arrays["ref_lengths"],
             arrays["maps"], arrays["pref"],
+            *([arrays["ref_nmask"]] if has_nmask else []),
         )
 
     return step
