@@ -113,6 +113,19 @@ class DietIndex:
             )
         return self._device["packed"], self._device["nmask"]
 
+    def device_cuckoo(self):
+        """Device-resident cuckoo probe table over (keys, packed CSR vals),
+        cached and shared by every mapper on this index (index/cuckoo.py).
+        Returns (tbl_keys, tbl_vals, c1, c2, log_t)."""
+        if "cuckoo" not in self._device:
+            from gdiet_tpu.index.cuckoo import build_cuckoo
+
+            tk, tv, c1, c2, lt = build_cuckoo(self.keys, lookup_vals(self.starts))
+            self._device["cuckoo"] = (
+                jnp.asarray(tk), jnp.asarray(tv), c1, c2, lt
+            )
+        return self._device["cuckoo"]
+
     def cal_max_occ(self, f: float) -> int:
         """mm_idx_cal_max_occ (index.c:190-210)."""
         if f <= 0.0 or len(self.keys) == 0:

@@ -270,6 +270,13 @@ class StepConfig:
     dp_impl: str = "xla"  # "pallas" on TPU backends
     bucket_shift: int = 0  # top-bits bucket of the key hash (index/build.py)
     bucket_iters: int = 30  # binary-search depth within a bucket
+    # probe = "cuckoo": idx_keys/idx_vals are the 2T-slot cuckoo table
+    # (index/cuckoo.py) — 4 gathers in 2 independent rounds instead of the
+    # bisect's 4-6 dependent ones; "bisect": bucketed binary search
+    probe: str = "bisect"
+    cuckoo_c1: int = 0
+    cuckoo_c2: int = 0
+    cuckoo_logt: int = 0
     dp_frac: float = 1.0  # DP/backtrack row budget as a fraction of B*K
     vote_budget: int = 0  # >0: compact the vote stream to this many hits
 
@@ -609,9 +616,25 @@ def collect_hits(
     rid0 = jnp.zeros((B,), I64)
 
     def lookup(q):
-        """Bucketed lower-bound (mm_idx_get, index.c:84-100): the bucket
-        table narrows the search to a handful of keys, so the fixed-depth
-        bisection needs ~4 gathers instead of log2(K). [moved]"""
+        """mm_idx_get (index.c:84-100) as a batched device probe.
+
+        cuckoo: two independent (key, val) slot fetches — 4 gathers, serial
+        depth 2. bisect: bucket-table lower bound — ~4-6 dependent gathers.
+        """
+        if cfg.probe == "cuckoo":
+            T = jnp.int64(1) << cfg.cuckoo_logt
+            sh = jnp.uint64(64 - cfg.cuckoo_logt)
+            s1 = ((q * jnp.uint64(cfg.cuckoo_c1)) >> sh).astype(I64)
+            s2 = T + ((q * jnp.uint64(cfg.cuckoo_c2)) >> sh).astype(I64)
+            k1 = jnp.take(idx_keys, s1)
+            v1 = jnp.take(idx_vals, s1)
+            k2 = jnp.take(idx_keys, s2)
+            v2 = jnp.take(idx_vals, s2)
+            v = jnp.where(k1 == q, v1, jnp.where(k2 == q, v2, jnp.uint64(0)))
+            found = (k1 == q) | (k2 == q)
+            s = (v >> jnp.uint64(24)).astype(I64)
+            c = (v & jnp.uint64(0xFFFFFF)).astype(I64)
+            return jnp.where(found, s, 0), jnp.where(found, c, 0)
         nk = idx_keys.shape[0]
         nb = idx_buckets.shape[0] - 1
         j = jnp.clip(
@@ -1135,19 +1158,18 @@ class FusedMapper:
         self.cfg = dataclass_replace(self.cfg, dp_frac=dp_frac)
         if jax.default_backend() == "tpu":
             self.cfg = dataclass_replace(self.cfg, dp_impl="pallas")
-        from gdiet_tpu.index.build import bucket_table, lookup_vals
-
-        tbl, shift_b, iters = bucket_table(index.keys, index.k)
+        tk, tv, c1, c2, lt = index.device_cuckoo()
         self.cfg = dataclass_replace(
-            self.cfg, bucket_shift=shift_b, bucket_iters=iters
+            self.cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2,
+            cuckoo_logt=lt,
         )
         maps, pref, _ = _pattern_tables(self.cfg)
         packed, nmask = index.device_packed()
         self.arrays = dict(
-            idx_keys=jnp.asarray(index.keys),
-            idx_vals=jnp.asarray(lookup_vals(index.starts)),
+            idx_keys=tk,
+            idx_vals=tv,
             idx_positions=jnp.asarray(index.positions),
-            idx_buckets=jnp.asarray(tbl),
+            idx_buckets=jnp.zeros((1,), jnp.int64),  # unused under cuckoo
             ref_codes=packed,
             ref_offsets=jnp.asarray(index.seq_offsets),
             ref_lengths=jnp.asarray(index.lengths),

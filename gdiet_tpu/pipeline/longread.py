@@ -79,16 +79,18 @@ class LongReadMapper:
         # LR voting keeps vt_nb_loc candidates (map.c:1310)
         cfg = dataclass_replace(cfg, K=mo.vt_nb_loc,
                                 vote_budget=vote_budget)
-        tbl, shift_b, iters = bucket_table(index.keys, index.k)
-        cfg = dataclass_replace(cfg, bucket_shift=shift_b, bucket_iters=iters)
+        tk, tv, c1, c2, lt = index.device_cuckoo()
+        cfg = dataclass_replace(
+            cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2, cuckoo_logt=lt
+        )
         self._use_pallas_dp = jax.default_backend() == "tpu"
         self.cfg = cfg
         maps, pref, _ = ds._pattern_tables(cfg)
         self.arrays = dict(
-            idx_keys=jnp.asarray(index.keys),
-            idx_vals=jnp.asarray(lookup_vals(index.starts)),
+            idx_keys=tk,
+            idx_vals=tv,
             idx_positions=jnp.asarray(index.positions),
-            idx_buckets=jnp.asarray(tbl),
+            idx_buckets=jnp.zeros((1,), jnp.int64),  # unused under cuckoo
             maps=jnp.asarray(maps),
             pref=jnp.asarray(pref),
         )

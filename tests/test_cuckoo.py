@@ -1,0 +1,73 @@
+"""Cuckoo probe table (index/cuckoo.py): build convergence + probe parity
+with the sorted-CSR lookup, host and device."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gdiet_tpu.index.cuckoo import EMPTY, build_cuckoo, probe_host
+
+
+def test_build_and_probe_host():
+    rng = np.random.default_rng(3)
+    nk = 100_000
+    keys = np.unique(rng.integers(0, 1 << 42, nk * 2, dtype=np.uint64))[:nk]
+    vals = (np.arange(nk, dtype=np.uint64) << np.uint64(24)) | np.uint64(7)
+    tk, tv, c1, c2, lt = build_cuckoo(keys, vals)
+    assert int((tk != EMPTY).sum()) == nk
+    # every key resolves to its value
+    got, found = probe_host(tk, tv, c1, c2, lt, keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, vals)
+    # absent keys miss
+    miss = np.setdiff1d(
+        rng.integers(0, 1 << 42, 5000, dtype=np.uint64), keys
+    )[:1000]
+    _, found = probe_host(tk, tv, c1, c2, lt, miss)
+    assert not found.any()
+
+
+def test_device_probe_matches_csr_lookup():
+    """The fused-step cuckoo lookup returns the same (start, count) as the
+    sorted-CSR path for hit and miss queries."""
+    from gdiet_tpu.index.build import lookup_vals
+
+    rng = np.random.default_rng(5)
+    nk = 5000
+    keys = np.sort(
+        np.unique(rng.integers(0, 1 << 40, nk * 2, dtype=np.uint64))[:nk]
+    )
+    counts = rng.integers(1, 9, nk)
+    starts = np.zeros(nk + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    vals = lookup_vals(starts)
+    tk, tv, c1, c2, lt = build_cuckoo(keys, vals)
+
+    q = np.concatenate([
+        keys[rng.integers(0, nk, 3000)],
+        rng.integers(0, 1 << 40, 3000, dtype=np.uint64),
+    ])
+    got_v, found = probe_host(tk, tv, c1, c2, lt, q)
+    # CSR truth
+    i = np.searchsorted(keys, q)
+    ic = np.clip(i, 0, nk - 1)
+    hit = keys[ic] == q
+    np.testing.assert_array_equal(found, hit)
+    s_true = np.where(hit, starts[ic], 0)
+    c_true = np.where(hit, counts[np.clip(ic, 0, nk - 1)], 0)
+    s_got = (got_v >> np.uint64(24)).astype(np.int64)
+    c_got = (got_v & np.uint64(0xFFFFFF)).astype(np.int64)
+    np.testing.assert_array_equal(s_got, s_true)
+    np.testing.assert_array_equal(c_got, c_true)
+
+    # device-side probe (same arithmetic as collect_hits's cuckoo branch)
+    T = jnp.int64(1) << lt
+    sh = jnp.uint64(64 - lt)
+    qd = jnp.asarray(q)
+    s1 = ((qd * jnp.uint64(c1)) >> sh).astype(jnp.int64)
+    s2 = T + ((qd * jnp.uint64(c2)) >> sh).astype(jnp.int64)
+    k1 = jnp.take(jnp.asarray(tk), s1)
+    k2 = jnp.take(jnp.asarray(tk), s2)
+    v1 = jnp.take(jnp.asarray(tv), s1)
+    v2 = jnp.take(jnp.asarray(tv), s2)
+    v = jnp.where(k1 == qd, v1, jnp.where(k2 == qd, v2, jnp.uint64(0)))
+    np.testing.assert_array_equal(np.asarray(v), np.where(hit, got_v, 0))
