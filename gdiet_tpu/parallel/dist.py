@@ -191,6 +191,74 @@ def sharded_step(
     return step
 
 
+def sharded_lr_front(
+    mesh: Mesh,
+    index: DietIndex,
+    cfg: StepConfig,
+    maps: np.ndarray,
+    pref: np.ndarray,
+    k: int,
+    vt_df1: float,
+    vt_f: float,
+    bw: int,
+):
+    """Long-read analog of sharded_step: the LR device front (hit collect +
+    2-round voting, pipeline/lr_step.lr_front) under shard_map on a
+    (data, ref) mesh. Per-shard hit streams merge inside collect_hits; the
+    packed meta tensor comes back data-sharded, so the host finish is
+    unchanged (LongReadMapper consumes it identically)."""
+    from gdiet_tpu.pipeline.lr_step import lr_front
+
+    n_ref = mesh.shape["ref"]
+    sh = ShardedIndex(index, n_ref)
+    from dataclasses import replace as dc_replace
+
+    cfg = dc_replace(cfg, probe="bisect", bucket_shift=sh.bucket_shift,
+                     bucket_iters=sh.bucket_iters)
+    arrays = dict(
+        idx_keys=jnp.asarray(sh.keys),
+        idx_vals=jnp.asarray(
+            np.stack([lookup_vals(sh.starts[i]) for i in range(n_ref)])
+        ),
+        idx_positions=jnp.asarray(sh.positions),
+        idx_buckets=jnp.asarray(sh.buckets),
+        maps=jnp.asarray(maps),
+        pref=jnp.asarray(pref),
+    )
+
+    def local(codes, lens, cov_thr, vt_dis, idx_keys, idx_vals,
+              idx_positions, idx_buckets, maps_, pref_):
+        return lr_front(
+            codes, lens,
+            idx_keys[0], idx_vals[0], idx_positions[0], idx_buckets[0],
+            maps_, pref_, cov_thr, vt_dis,
+            cfg=cfg, k=k, vt_df1=vt_df1, vt_f=vt_f, bw=bw,
+            ref_axis="ref", n_ref=n_ref,
+        )
+
+    shard_fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"), P("data"),
+            P("ref"), P("ref"), P("ref"), P("ref"),
+            P(), P(),
+        ),
+        out_specs={"meta": P("data")},
+        check_vma=False,
+    )
+
+    @jax.jit
+    def front(codes, lens, cov_thr, vt_dis):
+        return shard_fn(
+            codes, lens, cov_thr, vt_dis,
+            arrays["idx_keys"], arrays["idx_vals"], arrays["idx_positions"],
+            arrays["idx_buckets"], arrays["maps"], arrays["pref"],
+        )
+
+    return front
+
+
 def build_sharded_mapper(index: DietIndex, mo, mesh: Mesh,
                          Lmax: int = 256, S: int = 160, S2: int = 64,
                          A: int = 1024, dp_frac: float = 1.0,

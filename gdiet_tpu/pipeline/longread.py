@@ -52,6 +52,7 @@ class LongReadMapper:
         device: bool = True,
         vote_budget: int = 0,
         n_threads: int = 1,
+        mesh=None,
     ):
         self.mi = index
         self.mo = mo
@@ -94,6 +95,18 @@ class LongReadMapper:
             maps=jnp.asarray(maps),
             pref=jnp.asarray(pref),
         )
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip LR: the front runs under shard_map on a
+            # (data, ref) mesh (parallel/dist.sharded_lr_front); the host
+            # finish and segment DP are unchanged. Device batches are
+            # padded to a multiple of the data-axis width.
+            from gdiet_tpu.parallel.dist import sharded_lr_front
+
+            self._mesh_front = sharded_lr_front(
+                mesh, index, cfg, maps, pref, index.k,
+                float(mo.vt_df1), float(mo.vt_f), int(mo.bw),
+            )
         self._front = jax.jit(partial(
             lr_front, cfg=cfg, k=index.k, vt_df1=float(mo.vt_df1),
             vt_f=float(mo.vt_f), bw=int(mo.bw),
@@ -256,13 +269,32 @@ class LongReadMapper:
             [int(F32(l) * F32(mo.vt_cov)) for l in lens_np], np.int32
         )
         vt_dis = np.full(B, mo.vt_dis, np.uint64)
-        out = self._front(
-            jnp.asarray(codes), jnp.asarray(lens_np.astype(np.int64)),
-            self.arrays["idx_keys"], self.arrays["idx_vals"],
-            self.arrays["idx_positions"], self.arrays["idx_buckets"],
-            self.arrays["maps"], self.arrays["pref"],
-            jnp.asarray(cov_thr), jnp.asarray(vt_dis),
-        )
+        if self.mesh is not None:
+            # pad the device batch to a multiple of the data-axis width
+            # with zero-length rows (sliced off the returned meta)
+            n_data = self.mesh.shape["data"]
+            pad = (-B) % n_data
+            if pad:
+                codes_p = np.full((B + pad, self.Lmax), 255, np.uint8)
+                codes_p[:B] = codes
+                lens_p = np.concatenate([lens_np, np.zeros(pad, np.int64)])
+                cov_p = np.concatenate([cov_thr, np.zeros(pad, np.int32)])
+                dis_p = np.concatenate([vt_dis, np.ones(pad, np.uint64)])
+            else:
+                codes_p, lens_p, cov_p, dis_p = codes, lens_np, cov_thr, vt_dis
+            out = self._mesh_front(
+                jnp.asarray(codes_p), jnp.asarray(lens_p.astype(np.int64)),
+                jnp.asarray(cov_p), jnp.asarray(dis_p),
+            )
+            out = {"meta": out["meta"][:B]}
+        else:
+            out = self._front(
+                jnp.asarray(codes), jnp.asarray(lens_np.astype(np.int64)),
+                self.arrays["idx_keys"], self.arrays["idx_vals"],
+                self.arrays["idx_positions"], self.arrays["idx_buckets"],
+                self.arrays["maps"], self.arrays["pref"],
+                jnp.asarray(cov_thr), jnp.asarray(vt_dis),
+            )
         try:  # start the D2H copy of the vote results without blocking
             out["meta"].copy_to_host_async()
         except AttributeError:

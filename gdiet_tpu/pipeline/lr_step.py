@@ -291,15 +291,23 @@ def lr_front(
     vt_df1: float = 0.0,
     vt_f: float = 0.0,
     bw: int = 0,
+    ref_axis: str | None = None,
+    n_ref: int = 1,
 ):
     """Device front of the LR mm_map_frag: shared hit collection, round-1
     vote, density/relative filters and BOTH round-2 window scans — one
-    dispatch, one packed tensor back to the host."""
+    dispatch, one packed tensor back to the host.
+
+    Under ``ref_axis`` the index arrays are one key-range shard per device
+    and collect_hits merges the per-shard hit streams with psum/all_gather
+    (the LR analog of the reference's split-index merge, map.c:1094-1163);
+    the vote scans then run on the full merged stream per data-shard read.
+    """
     B = codes.shape[0]
     (fallback, shift, extracted, mv_n, capped,
      fk, fq, fok, rk, rq, rok, A_stream) = collect_hits(
         codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
-        maps, pref, cfg,
+        maps, pref, cfg, ref_axis, n_ref,
     )
     # compact the voted stream: the strand-sorted hit arrays put valid hits
     # first, and typical reads fill a small fraction of the A budget, so the

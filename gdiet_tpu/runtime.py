@@ -370,7 +370,14 @@ def run_mapping(
     else:
         from gdiet_tpu.pipeline.longread import LongReadMapper
 
-        mapper = LongReadMapper(mi, mo, n_threads=n_threads)
+        lr_mesh = None
+        if mo.mesh_shape is not None:
+            from gdiet_tpu.parallel.dist import make_mesh
+
+            lr_mesh = make_mesh(*mo.mesh_shape)
+            _log(verbose, t0, f"multi-chip mesh: data={mo.mesh_shape[0]} "
+                 f"ref={mo.mesh_shape[1]}")
+        mapper = LongReadMapper(mi, mo, n_threads=n_threads, mesh=lr_mesh)
 
     if sam_mode:
         out.write(samio.sam_header(

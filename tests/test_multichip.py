@@ -108,3 +108,37 @@ def test_weak_scaling_virtual_mesh():
         times[n_data] = time.perf_counter() - t0
         assert b"".join(blobs).count(b"\n") >= len(reads)
     print(f"weak-scaling wall times (CPU mesh, informational): {times}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
+def test_lr_mesh_sam_parity(mesh_shape, data_dir):
+    """Long-read mesh: LongReadMapper(mesh=...) must emit byte-identical
+    SAM to the single-device mapper (key-range hit-stream merge inside the
+    shard_map'd lr_front)."""
+    from gdiet_tpu.config import options_for
+    from gdiet_tpu.index import build_index
+    from gdiet_tpu.io.fastx import read_fastx
+    from gdiet_tpu.pipeline.longread import LongReadMapper
+    from tests.test_longread_oracle import CONFIGS
+
+    n_data, n_ref = mesh_shape
+    assert len(jax.devices()) >= n_data * n_ref
+    cfg = dict(CONFIGS["hifi"])
+    preset = cfg.pop("preset")
+    io_, mo = options_for(preset, variant="lr", pattern="10", **cfg)
+    refs = [(r.name, r.seq) for r in read_fastx(str(data_dir / "ref_lr.fa"))]
+    mi = build_index(refs, io_)
+    reads = list(read_fastx(str(data_dir / "reads_lr.fq")))[:10]
+
+    kw = dict(max_read_len=4096, seed_budget=512, shift_seed_budget=128,
+              hit_budget=1024)
+    single = LongReadMapper(mi, mo, **kw)
+    meshed = LongReadMapper(mi, mo, mesh=make_mesh(n_data, n_ref), **kw)
+
+    res_s = single.map_batch(reads)
+    res_m = meshed.map_batch(reads)
+    for rec, rs, rm in zip(reads, res_s, res_m):
+        ls = single.regs_to_sam_lines(rec, rs)
+        lm = meshed.regs_to_sam_lines(rec, rm)
+        assert ls == lm, rec.name
