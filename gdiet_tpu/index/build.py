@@ -165,6 +165,11 @@ class DietIndex:
     MAGIC = "GDI\x01"
 
     def save(self, path: str):
+        """Serialize with the sequence 2-bit packed + N bitmask (the disk
+        analog of the reference's 4-bit mm_idx_dump pack, index.c:480-517,
+        at twice the density)."""
+        from gdiet_tpu.pipeline.device_step import pack_ref_codes
+
         meta = {
             "magic": self.MAGIC,
             "k": self.k,
@@ -172,13 +177,17 @@ class DietIndex:
             "pattern": self.pattern,
             "flag": self.flag,
             "names": self.names,
+            "codes_len": int(len(self.codes)),
         }
+        packed, nmask = pack_ref_codes(self.codes)
         np.savez(
             path,
             meta=json.dumps(meta),
             lengths=self.lengths,
             seq_offsets=self.seq_offsets,
-            codes=self.codes,
+            codes_packed=packed,
+            codes_nmask=(nmask if nmask is not None
+                         else np.zeros(0, np.uint8)),
             keys=self.keys,
             starts=self.starts,
             positions=self.positions,
@@ -190,6 +199,21 @@ class DietIndex:
         meta = json.loads(str(z["meta"]))
         if meta.get("magic") != cls.MAGIC:
             raise ValueError(f"{path}: not a gdiet index")
+        if "codes" in z.files:  # pre-pack format
+            codes = z["codes"]
+        else:
+            L = meta["codes_len"]
+            packed = z["codes_packed"]
+            codes = np.zeros(len(packed) * 4, np.uint8)
+            for t in range(4):
+                codes[t::4] = (packed >> (2 * t)) & 3
+            nmask = z["codes_nmask"]
+            if len(nmask):
+                bits = np.unpackbits(
+                    nmask, bitorder="little"
+                )[: len(codes)].astype(bool)
+                codes[bits] = 4
+            codes = codes[:L]
         return cls(
             k=meta["k"],
             w=meta["w"],
@@ -198,7 +222,7 @@ class DietIndex:
             names=list(meta["names"]),
             lengths=z["lengths"],
             seq_offsets=z["seq_offsets"],
-            codes=z["codes"],
+            codes=codes,
             keys=z["keys"],
             starts=z["starts"],
             positions=z["positions"],
