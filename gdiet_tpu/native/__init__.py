@@ -269,6 +269,12 @@ def _blob(strs: list[str]) -> tuple[bytes, np.ndarray]:
     return b"".join(bs), offs
 
 
+def make_sr_blobs(names, seqs, quals):
+    """Prebuild the (name, seq, qual) byte blobs + offsets for
+    sr_finish_batch — callable off the blocking finish path."""
+    return (*_blob(names), *_blob(seqs), *_blob(quals))
+
+
 def sr_finish_batch(
     meta: np.ndarray,  # [B, F] int32 (fused step meta, on host)
     ops: np.ndarray,  # [N2, OB] uint8 compacted 2-bit op streams
@@ -286,10 +292,15 @@ def sr_finish_batch(
     a: int, b: int, q: int, e: int,
     min_dp_max: int, max_nb_sec: int,
     no_print_2nd: bool, softclip: bool, rep_len: int = 0,
+    blobs=None,
 ):
     """Entire short-read host finish (regs + filters + SAM text) in one C
     call. Returns (sam_buffer bytes, rec_offs [B+1], done [B] u8) or None
-    when the native library is unavailable."""
+    when the native library is unavailable.
+
+    ``blobs`` — optional prebuilt make_sr_blobs(names, seqs, quals) result,
+    letting callers build the string blobs while the device computes
+    instead of on this blocking path."""
     if lib is None:
         return None
     B = meta.shape[0]
@@ -297,9 +308,12 @@ def sr_finish_batch(
     ops = np.ascontiguousarray(ops, np.uint8)
     codes = np.ascontiguousarray(codes, np.uint8)
     lens = np.ascontiguousarray(lens, np.int64)
-    nblob, noffs = _blob(names)
-    sblob, soffs = _blob(seqs)
-    qblob, qoffs = _blob(quals)
+    if blobs is not None:
+        nblob, noffs, sblob, soffs, qblob, qoffs = blobs
+    else:
+        nblob, noffs = _blob(names)
+        sblob, soffs = _blob(seqs)
+        qblob, qoffs = _blob(quals)
     cap = int(
         noffs[-1] + 2 * soffs[-1] + qoffs[-1] + B * 448 + (1 << 16)
     )

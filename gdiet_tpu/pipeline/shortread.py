@@ -192,7 +192,7 @@ class ShortReadMapper:
             yield self._finish(prev)
 
     # ------------------------------------------------------------------
-    def _prepare_and_dispatch(self, reads: list[SeqRecord]):
+    def _prepare_and_dispatch(self, reads: list[SeqRecord], sam: bool = False):
         B = len(reads)
         if native.lib is not None:
             codes, lens = native.encode_batch([r.seq for r in reads], self.Lmax)
@@ -229,10 +229,20 @@ class ShortReadMapper:
             # batch's device compute and this batch's host finish
             dev["meta"].copy_to_host_async()
             dev["ops"].copy_to_host_async()
-        return reads, codes, lens, host_only, device_idx, dev
+        blobs = None
+        if sam and dev is not None and native.lib is not None:
+            # prebuild the SAM string blobs NOW — this overlaps the device
+            # compute instead of sitting on the blocking finish path
+            di = device_idx
+            blobs = native.make_sr_blobs(
+                [reads[i].name for i in di],
+                [reads[i].seq for i in di],
+                [reads[i].qual or "" for i in di],
+            )
+        return reads, codes, lens, host_only, device_idx, dev, blobs
 
     def _finish(self, state) -> list[list[oal.Reg]]:
-        reads, codes, lens, host_only, device_idx, dev = state
+        reads, codes, lens, host_only, device_idx, dev = state[:6]
         results: list[list[oal.Reg] | None] = [None] * len(reads)
         retry_i: list[int] = []
         if dev is not None:
@@ -280,7 +290,7 @@ class ShortReadMapper:
         for batch in batches:
             batch, n_real = (batch if isinstance(batch, tuple)
                              else (batch, len(batch)))
-            state = (*self._prepare_and_dispatch(batch), n_real)
+            state = (*self._prepare_and_dispatch(batch, sam=True), n_real)
             if prev is not None:
                 yield self._finish_sam(prev, rep_len)
             prev = state
@@ -313,7 +323,7 @@ class ShortReadMapper:
     def _finish_sam(self, state, rep_len: int) -> bytes:
         from gdiet_tpu.config import MM_F_SOFTCLIP
 
-        reads, codes, lens, host_only, device_idx, dev, n_real = state
+        reads, codes, lens, host_only, device_idx, dev, blobs, n_real = state
         mo = self.mo
         B = len(reads)
         spans: list = [None] * B
@@ -331,15 +341,14 @@ class ShortReadMapper:
                 res = native.sr_finish_batch(
                     meta_np, ops_np, self.fused.cfg.K, self.fused.cfg.Lmax,
                     codes[di], lens[di],
-                    [reads[i].name for i in di],
-                    [reads[i].seq for i in di],
-                    [reads[i].qual or "" for i in di],
+                    None, None, None,  # prebuilt blobs below
                     self.mi.codes, self.mi.seq_offsets,
                     self._ref_names_blob, self._ref_name_offs,
                     mo.a, mo.b, mo.q, mo.e, mo.min_dp_max,
                     0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n,
                     bool(mo.flag & MM_F_NO_PRINT_2ND),
                     bool(mo.flag & MM_F_SOFTCLIP), rep_len,
+                    blobs=blobs,
                 )
             if res is None:  # no native library: regs path + Python writer
                 results = self._finish(state[:6])
