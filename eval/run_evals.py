@@ -93,6 +93,9 @@ def containment():
     for tag, q in [("contained", contained), ("unrelated", unrelated)]:
         chunks = [SeqRecord(f"c{i}", q[s0 : s0 + 2000])
                   for i, s0 in enumerate(range(0, len(q) - 2000, 2000))]
+        with open(WORK / f"search_{tag}.fa", "w") as f:  # reference side
+            for c in chunks:
+                f.write(f">{c.name}\n{c.seq}\n")
         B = 256
         mapper = LongReadMapper(mi, mo, max_read_len=4096, seed_budget=512,
                                 shift_seed_budget=128, hit_budget=2048)
@@ -110,6 +113,111 @@ def containment():
         }
         log(f"search {tag}: {search[tag]}")
     return rows, search
+
+
+REF_LR = pathlib.Path("/tmp/gdiet_ref/LR/GDiet")
+REF_SR = pathlib.Path("/tmp/gdiet_ref/SR/GDiet")
+
+
+def _build_ref_binaries():
+    """Build the reference binaries if absent (Makefile 'GDiet' target)."""
+    for src, exe in (("GDiet-LongReads", REF_LR), ("GDiet-ShortReads", REF_SR)):
+        if exe.exists():
+            continue
+        exe.parent.parent.mkdir(parents=True, exist_ok=True)
+        if not exe.parent.exists():
+            subprocess.run(
+                ["cp", "-r", f"/root/reference/{src}", str(exe.parent)],
+                check=True)
+        subprocess.run(["make", "GDiet"], cwd=exe.parent, check=True,
+                       capture_output=True, timeout=600)
+
+
+def reference_side(cont_rows, search, tax):
+    """Run the REFERENCE binary on the same synthetic workloads and record
+    ours-vs-reference time/space ratios (the local anchor for the paper's
+    72.7-75.9x / 723x headline ratios — ContainmentIndexing.sh:7-108,
+    TaxonomicProfiling.sh). Single core, warm cache, same files."""
+    _build_ref_binaries()
+    out = {"containment": [], "search": {}, "taxonomic": {}}
+
+    # --- containment indexing sweep (same FASTA, same k/w/pattern) ---
+    fa = WORK / "cont_target.fa"
+    for pat in PATTERNS:
+        for no_seq in (False, True):
+            mmi = WORK / f"ref_idx_{pat}{'_noseq' if no_seq else ''}.mmi"
+            cmd = [str(REF_LR), "-t", "1", "-x", "map-hifi",
+                   "-Z", pat, "-W", str(len(pat)), "-k", "19", "-w", "16"]
+            if no_seq:
+                cmd.append("--idx-no-seq")
+            cmd += ["-d", str(mmi), str(fa)]
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True, capture_output=True, timeout=1800)
+            out["containment"].append({
+                "pattern": pat, "no_seq": no_seq,
+                "build_s": round(time.perf_counter() - t0, 2),
+                "bytes": mmi.stat().st_size,
+            })
+            log(f"ref {out['containment'][-1]}")
+
+    # --- containment search (same 2 kb chunk queries, pattern-10 index) ---
+    for tag in ("contained", "unrelated"):
+        qfa = WORK / f"search_{tag}.fa"
+        if not qfa.exists():
+            continue
+        sam = WORK / f"ref_search_{tag}.sam"
+        cmd = [str(REF_LR), "-a", "-t", "1", "-x", "map-hifi", "-Z", "10",
+               "-W", "2", "-k", "19", "-w", "16", "-i", "0.2", "-r", "500",
+               "--vt_dis", "650", "--vt_nb_loc", "5", "--vt_df1", "0.0106",
+               "--vt_df2", "0.2", "-s", "200", "--vt_cov", "0.04",
+               "--vt_f", "0.04", "-o", str(sam),
+               str(WORK / "ref_idx_10.mmi"), str(qfa)]
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True, timeout=1800)
+        dt = time.perf_counter() - t0
+        mapped = sum(
+            1 for l in open(sam)
+            if not l.startswith("@") and l.split("\t", 3)[2] != "*"
+        )
+        out["search"][tag] = {"mapped": mapped, "sec": round(dt, 2)}
+        log(f"ref search {tag}: {out['search'][tag]}")
+
+    # --- taxonomic profiling (same 8-genome DB + 6k reads) ---
+    db = WORK / "tax_db.fa"
+    rq = WORK / "tax_reads.fq"
+    if db.exists() and rq.exists():
+        mmi = WORK / "ref_tax.mmi"
+        base = [str(REF_SR), "-t", "1", "-x", "sr", "-Z", "10", "-W", "2",
+                "-k", "21", "-w", "11"]
+        t0 = time.perf_counter()
+        subprocess.run([*base, "-d", str(mmi), str(db)], check=True,
+                       capture_output=True, timeout=1800)
+        build_s = time.perf_counter() - t0
+        sam = WORK / "ref_tax.sam"
+        t0 = time.perf_counter()
+        subprocess.run(
+            [*base, "-a", "-i", "2", "-N", "1", "-r", "0.05,150,200",
+             "-n", "0.95,0.3", "-s", "100", "--AF_max_loc", "2",
+             "-o", str(sam), str(mmi), str(rq)],
+            check=True, capture_output=True, timeout=1800)
+        map_s = time.perf_counter() - t0
+        n = mapped = 0
+        for l in open(sam):
+            if l.startswith("@"):
+                continue
+            f = l.split("\t", 4)
+            if int(f[1]) & 0x900:
+                continue
+            n += 1
+            if f[2] != "*":
+                mapped += 1
+        out["taxonomic"] = {
+            "build_s": round(build_s, 1), "map_s": round(map_s, 2),
+            "reads_per_sec": round(n / map_s, 1),
+            "reads": n, "mapped": mapped,
+        }
+        log(f"ref taxonomic: {out['taxonomic']}")
+    return out
 
 
 def taxonomic():
@@ -134,6 +242,12 @@ def taxonomic():
                 r[p] = "ACGT"[int(rng.integers(0, 4))]
             reads.append(SeqRecord(f"r{name}_{j}", "".join(r)))
     rng.shuffle(reads)
+    with open(WORK / "tax_db.fa", "w") as f:  # reference side uses same data
+        for name, g in genomes.items():
+            f.write(f">{name}\n{g}\n")
+    with open(WORK / "tax_reads.fq", "w") as f:
+        for r in reads:
+            f.write(f"@{r.name}\n{r.seq}\n+\n{'I' * len(r.seq)}\n")
 
     io_, mo = options_for(
         "sr", pattern="10", k=21, w=11, max_seeds=2.0, best_n=1,
@@ -179,6 +293,11 @@ def main():
     WORK.mkdir(parents=True, exist_ok=True)
     cont_rows, search = containment()
     tax = taxonomic()
+    try:
+        ref = reference_side(cont_rows, search, tax)
+    except Exception as e:  # reference toolchain unavailable: record ours only
+        log(f"reference side skipped: {e}")
+        ref = None
 
     base = next(r for r in cont_rows if r["pattern"] == "11"
                 and not r["no_seq"])
@@ -188,28 +307,36 @@ def main():
         "Produced by `python eval/run_evals.py` (synthetic data; the",
         "comparable quantities are the RATIOS — reference headline numbers",
         "are 72.7-75.9x search speedup / 723x space on RefSeq-scale data,",
-        "README.md:69, ContainmentIndexing.sh:7-108).",
+        "README.md:69, ContainmentIndexing.sh:7-108). The 'ref' columns are",
+        "the reference GDiet binary on the SAME data/flags on this box.",
         "",
         "## Containment indexing sweep (8 Mbp target, map-hifi k19 w16)",
         "",
-        "| pattern | seq stored | build s | index bytes | vs 11+seq |",
-        "|---|---|---|---|---|",
+        "| pattern | seq stored | build s | index bytes | vs 11+seq | ref build s | ref bytes | ours/ref bytes |",
+        "|---|---|---|---|---|---|---|---|",
     ]
+    ref_cont = {(r["pattern"], r["no_seq"]): r
+                for r in (ref["containment"] if ref else [])}
     for r in cont_rows:
+        rr = ref_cont.get((r["pattern"], r["no_seq"]))
+        extra = (f" {rr['build_s']} | {rr['bytes']:,} | "
+                 f"{r['bytes'] / rr['bytes']:.2f}x |" if rr else " - | - | - |")
         lines.append(
             f"| {r['pattern']} | {'no' if r['no_seq'] else 'yes'} | "
             f"{r['build_s']} | {r['bytes']:,} | "
-            f"{base['bytes'] / r['bytes']:.2f}x smaller |")
+            f"{base['bytes'] / r['bytes']:.2f}x smaller |" + extra)
     lines += [
         "",
         "## Containment search (pattern 10 index, 2 kb query chunks)",
         "",
-        "| query | chunks | mapped | contained frac | wall s |",
-        "|---|---|---|---|---|",
+        "| query | chunks | mapped | contained frac | wall s | ref mapped | ref wall s |",
+        "|---|---|---|---|---|---|---|",
     ]
     for tag, v in search.items():
+        rv = (ref or {}).get("search", {}).get(tag)
+        extra = (f" {rv['mapped']} | {rv['sec']} |" if rv else " - | - |")
         lines.append(f"| {tag} | {v['chunks']} | {v['mapped']} | "
-                     f"{v['frac']} | {v['sec']} |")
+                     f"{v['frac']} | {v['sec']} |" + extra)
     lines += [
         "",
         "## Taxonomic profiling (8-taxon DB, 6k reads from 3 taxa)",
@@ -219,8 +346,17 @@ def main():
         f"- recovered profile: `{json.dumps(tax['profile'])}`",
         f"- truth: `{json.dumps(tax['truth'])}`  |  L1 error: "
         f"{tax['l1_error']}",
+    ]
+    if ref and ref.get("taxonomic"):
+        rt = ref["taxonomic"]
+        lines.append(
+            f"- reference binary, same DB/reads: build {rt['build_s']} s; "
+            f"{rt['reads_per_sec']} reads/s ({rt['mapped']}/{rt['reads']} "
+            f"mapped); ours/ref map speed: "
+            f"{tax['reads_per_sec'] / rt['reads_per_sec']:.2f}x")
+    lines += [
         "",
-        f"Raw: `{json.dumps({'containment': cont_rows, 'search': search, 'taxonomic': tax})}`",
+        f"Raw: `{json.dumps({'containment': cont_rows, 'search': search, 'taxonomic': tax, 'reference': ref})}`",
     ]
     out = REPO / "eval" / "RESULTS.md"
     out.write_text("\n".join(lines) + "\n")

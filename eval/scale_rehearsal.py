@@ -262,6 +262,16 @@ def main():
     }
     results["n_keys"] = int(len(mi.keys))
     results["n_positions"] = int(len(mi.positions))
+    # device (HBM) residency of the mapping-time arrays: 2-bit packed seq
+    # (+1-bit N mask), cuckoo probe table (2T slots x 16 B), positions
+    n_codes = int(mi.lengths.sum())
+    log_t = max(4, int(np.ceil(np.log2(max(len(mi.keys), 1) * 1.1 + 1))))
+    results["hbm_mb"] = {
+        "seq_2bit": round(n_codes / 4 / 1e6, 1),
+        "n_mask": round((n_codes / 8 / 1e6) if (mi.codes > 3).any() else 0, 1),
+        "cuckoo": round((2 << log_t) * 16 / 1e6, 1),
+        "positions": round(mi.positions.nbytes / 1e6, 1),
+    }
     occ = np.diff(mi.starts)
     results["occ_p50_p99_max"] = [int(np.percentile(occ, 50)),
                                   int(np.percentile(occ, 99)), int(occ.max())]
@@ -325,6 +335,11 @@ def write_scale_md(r, out):
         f"| index bytes: keys / positions / starts / ref codes | "
         f"{amb['keys']} / {amb['positions']} / {amb['starts']} / "
         f"{amb['ref_codes']} MB |",
+        f"| HBM residency: 2-bit seq / N mask / cuckoo / positions | "
+        f"{r.get('hbm_mb', {}).get('seq_2bit', 'n/a')} / "
+        f"{r.get('hbm_mb', {}).get('n_mask', 'n/a')} / "
+        f"{r.get('hbm_mb', {}).get('cuckoo', 'n/a')} / "
+        f"{r.get('hbm_mb', {}).get('positions', 'n/a')} MB |",
         f"| occurrence p50 / p99 / max | {r['occ_p50_p99_max'][0]} / "
         f"{r['occ_p50_p99_max'][1]} / {r['occ_p50_p99_max'][2]} |",
         f"| uniform reads: ours / reference (reads/s) | "
@@ -340,13 +355,14 @@ def write_scale_md(r, out):
         f"| repeat-region reads: SAM parity | "
         f"{rep.get('sam_parity', 'n/a')} |",
         "",
-        "## GRCh38 (3 Gbp) projection",
+        "## GRCh38 (3 Gbp) notes",
         "",
-        "Scaling the measured arrays 25x (3 Gbp / 120 Mbp): keys ~"
-        f"{25 * amb['keys'] / 1e3:.1f} GB, positions ~"
-        f"{25 * amb['positions'] / 1e3:.1f} GB, ref codes ~3 GB (uint8; a "
-        "2-bit pack as in index.c:350-357 would cut it to 0.75 GB) — within "
-        "one v5e chip's 16 GB HBM. The CSR bucket table stays O(2^22).",
+        "The mapping-time device arrays are the HBM-residency row above: "
+        "the sequence is 2-bit packed on device (pack_ref_codes — denser "
+        "than the reference's 4-bit index.c:350-357 pack) and the lookup is "
+        "a cuckoo table at ~2.2x key+val bytes. At 3 Gbp that is ~0.78 GB "
+        "seq + positions + cuckoo, within one v5e chip's 16 GB HBM. Run "
+        "this script with --genome-mb 3000 for measured numbers.",
         "",
         f"Raw JSON: `{json.dumps(r)}`",
     ]
