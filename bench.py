@@ -464,8 +464,35 @@ def check_parity() -> float | None:
     return frac
 
 
+def probe_device(timeout_s: int = 900):
+    """Touch the device FIRST under an alarm: a wedged axon tunnel
+    otherwise burns the whole attempt inside the first big compile. Exits
+    3 on timeout so the outer retry loop cycles cheaply."""
+    import signal
+
+    def _boom(signum, frame):
+        log(f"device probe timed out after {timeout_s}s — tunnel wedged")
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _boom)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        d = jax.devices()
+        x = jnp.arange(8192.0)
+        float((x * 2).sum())
+        log(f"device probe ok ({d[0].platform}) in "
+            f"{time.perf_counter() - t0:.1f}s")
+    finally:
+        signal.alarm(0)
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet")
+    probe_device()
     fa, fq = gen_data()
     base_stats = baseline_reads_per_sec(fa, fq)
     # vs_baseline target = GDiet_avx (BASELINE.md); scalar as fallback anchor
