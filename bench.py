@@ -464,6 +464,64 @@ def check_parity() -> float | None:
     return frac
 
 
+def pe_stats() -> dict:
+    """Paired-end throughput + parity row: map the PE fixture pair through
+    run_mapping (frag mode + mm_pair) and check R1 alignment columns
+    against the single-end reference golden (the PE semantics contract —
+    see tests/test_pe_parity.py for why full byte parity is masked)."""
+    import io as _io
+
+    from gdiet_tpu.cli import main as cli_main
+
+    data = pathlib.Path(__file__).parent / "tests" / "data"
+    if not (data / "golden_pe_r1.sam").exists():
+        return {}
+    out = BENCH_DIR / "ours_pe.sam"
+    t0 = time.perf_counter()
+    rc = cli_main([
+        "-a", "-t", "1", "-x", "sr", "-Z", "10", "-W", "2", "-k", "21",
+        "-w", "11", "-i", "2", "-N", "1", "-r", "0.05,150,200",
+        "-n", "0.95,0.3", "-s", "100", "--AF_max_loc", "2",
+        "-o", str(out), str(data / "ref_pe.fa"),
+        str(data / "reads_pe_1.fq"), str(data / "reads_pe_2.fq"),
+    ])
+    dt = time.perf_counter() - t0
+    if rc != 0:
+        return {}
+    ours = {}
+    n_reads = 0
+    for line in out.read_text().splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        fl = int(f[1])
+        n_reads += 1
+        if (fl & 0x40) and not (fl & 0x900):
+            ours[f[0]] = f
+    golden = {}
+    for line in (data / "golden_pe_r1.sam").read_text().splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        nm = f[0]
+        if len(nm) > 2 and nm[-2] == "/" and nm[-1].isdigit():
+            nm = nm[:-2]
+        if nm not in golden:
+            golden[nm] = f
+    same = total = 0
+    for nm, gp in golden.items():
+        if gp[2] == "*":
+            continue
+        total += 1
+        mp = ours.get(nm)
+        if mp and mp[2:4] == gp[2:4] and mp[5] == gp[5]:
+            same += 1
+    return {
+        "pe_pairs_per_sec": round(len(golden) / dt, 1),
+        "pe_r1_parity": round(same / max(total, 1), 4),
+    }
+
+
 def probe_device(timeout_s: int = 900):
     """Touch the device FIRST under an alarm: a wedged axon tunnel
     otherwise burns the whole attempt inside the first big compile. Exits
@@ -522,6 +580,10 @@ def main():
         stats.update(ont_stats(fa))
     except Exception as ex:
         log(f"ont stats failed: {ex}")
+    try:
+        stats.update(pe_stats())
+    except Exception as ex:
+        log(f"pe stats failed: {ex}")
     log(f"stats: {json.dumps(stats)}")
     print(json.dumps(result))
 
