@@ -211,6 +211,9 @@ def main():
     ap.add_argument("--skip-ref", action="store_true")
     args = ap.parse_args()
 
+    global WORK
+    if args.genome_mb != 120:  # keep per-size caches separate
+        WORK = pathlib.Path(f"/tmp/gdiet_scale{args.genome_mb}")
     WORK.mkdir(parents=True, exist_ok=True)
     # claim the device tunnel FIRST (its plugin handshake is flaky; failing
     # here makes outer retries cheap)
