@@ -261,6 +261,8 @@ class StepConfig:
     bw_max: int
     bw_frac: float
     occ_thresh: int  # int(0.501*occ_dist)+1 (seed.c:66 streak span)
+    occ_dist: int  # mm_seed_select dist (0 = plain high-occ filter)
+    max_max_occ: int  # mm_seed_select hard occurrence cap
     q_occ_on: bool
     q_occ_frac: float
     mid_occ: int
@@ -294,6 +296,7 @@ class StepConfig:
             rec_frac=mo.rec_threshold_frac, bw_min=mo.bw_min, bw_max=mo.bw_max,
             bw_frac=mo.bw_frac, occ_thresh=int(0.501 * mo.occ_dist) + 1,
             q_occ_on=mo.q_occ_frac > 0, q_occ_frac=mo.q_occ_frac,
+            occ_dist=mo.occ_dist, max_max_occ=mo.max_max_occ,
             mid_occ=mid_occ, match_a=mo.a,
             params=(mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2), frag_mode=frag,
         )
@@ -590,6 +593,74 @@ def unpack_outputs(meta: np.ndarray, K: int) -> dict:
     return out
 
 
+def _seed_select_device(cnts, qpos, seed_ok, lens, cfg: StepConfig):
+    """mm_seed_select (seed.c:66-106), exactly, as sorts + scans (no
+    gathers): for each streak of consecutive high-occurrence collected
+    seeds (bounded by seeds with n <= mid_occ), keep the
+    (span/dist + .499) least-frequent ones — the heap's survivors equal
+    the H smallest (n, index) pairs since indices arrive in increasing
+    order — and always drop n > max_max_occ; a read with <= 1 collected
+    seed is left untouched (the reference's early return).
+
+    Returns the kept mask [B, S] over collected seeds (the !flt set of
+    mm_collect_matches2, seed.c:149-154).
+    """
+    B, S = cnts.shape
+    i64 = I64
+    present = seed_ok & (cnts > 0)
+    low = present & (cnts <= cfg.mid_occ)
+    high = present & ~low
+    n_present = present.sum(axis=1)
+    idx = jnp.arange(S, dtype=i64)[None, :]
+    q64 = qpos.astype(i64)
+
+    # ps: qpos of the last low seed before each lane (0 if none);
+    # pe: qpos of the next low seed after it (qlen if none). High lanes are
+    # not low, so at-or-before / at-or-after scans give strictly-adjacent
+    # bounds for them (seed.c:79-80).
+    BIGP = jnp.int64(1) << 62
+    packed = jnp.where(low, (idx << 32) | q64, jnp.int64(-1))
+    ps_pack = jax.lax.associative_scan(jnp.maximum, packed, axis=1)
+    ps = jnp.where(ps_pack >= 0, ps_pack & 0xFFFFFFFF, 0)
+    packed2 = jnp.where(low, (idx << 32) | q64, BIGP)
+    pe_pack = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(packed2, 1), axis=1), 1
+    )
+    pe = jnp.where(pe_pack < BIGP, pe_pack & 0xFFFFFFFF, lens[:, None])
+
+    # max_high_occ per lane (double arithmetic, int truncation; seed.c:83-85)
+    H = ((pe - ps).astype(jnp.float64) / cfg.occ_dist + 0.499).astype(i64)
+    H = jnp.minimum(H, 128)  # MAX_MAX_HIGH_OCC
+
+    # rank the high seeds of each streak by (n, index): one composite-key
+    # sort groups streaks and orders within them; rank = offset from the
+    # group start. sid (streak id) = #lows at-or-before the lane.
+    sid = jnp.cumsum(low.astype(i64), axis=1)
+    BIG = jnp.int64(1) << 62
+    nq = jnp.minimum(cnts.astype(i64), 0xFFFFFF)
+    key = jnp.where(high, (sid << 40) | (nq << 16) | idx, BIG)
+    idx_b = jnp.broadcast_to(idx, (B, S))
+    key_s, orig_s, H_s = jax.lax.sort(
+        [key, idx_b, H], dimension=1, num_keys=1
+    )
+    grp = key_s >> 40
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), grp[:, 1:] != grp[:, :-1]], axis=1
+    )
+    start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, -1), axis=1
+    )
+    rank = idx - start_idx
+    sel_sorted = (key_s < BIG) & (rank < H_s)
+    _, sel = jax.lax.sort(
+        [orig_s, sel_sorted.astype(jnp.int32)], dimension=1, num_keys=1
+    )
+    selected = sel.astype(bool)
+
+    kept = present & (low | (selected & (cnts <= cfg.max_max_occ)))
+    return jnp.where((n_present <= 1)[:, None], present, kept)
+
+
 def collect_hits(
     codes,  # [B, Lmax] uint8 (255 pad)
     lens,  # [B] int64
@@ -787,17 +858,18 @@ def collect_hits(
         )
     else:  # merged path: per-shift lookups already selected above
         cnts = cnts_global
-    # exact occurrence-streak selection can differ for long reads (seed.c:66)
-    span_possible = lens >= cfg.occ_thresh
-    has_high = (seed_ok & (cnts > cfg.mid_occ)).any(axis=1)
-    fallback = fallback | (span_possible & has_high)
-    kept = seed_ok & (cnts > 0) & (cnts <= cfg.mid_occ)
+    qpos = ((ys & jnp.uint64(U32)) >> jnp.uint64(1)).astype(jnp.int32)
+    if cfg.occ_dist > 0 and cfg.max_max_occ > cfg.mid_occ:
+        # exact mm_seed_select on device (mm_collect_matches2 gate,
+        # seed.c:149): high-occurrence streaks keep their least-frequent
+        # members instead of forcing the whole read to the oracle
+        kept = _seed_select_device(cnts, qpos, seed_ok, lens, cfg)
+    else:
+        kept = seed_ok & (cnts > 0) & (cnts <= cfg.mid_occ)
     fallback = fallback | (jnp.where(kept, cnts, 0).sum(axis=1) > cfg.A)
     # key-range sharding keeps all occurrences of a key on one shard, so the
     # local expansion counts are the owning shard's counts (0 elsewhere)
     kcounts = jnp.where(kept, cnts_local, 0)
-
-    qpos = ((ys & jnp.uint64(U32)) >> jnp.uint64(1)).astype(jnp.int32)
     qstrand = (ys & jnp.uint64(1)).astype(jnp.int32)
     fk, fq, fok, rk, rq, rok, _ = _expand_hits(
         starts.astype(I64), kcounts.astype(I64), qpos, qstrand,
