@@ -289,7 +289,21 @@ def taxonomic():
     }
 
 
+def _backend() -> str:
+    import jax
+
+    return jax.devices()[0].platform
+
+
 def main():
+    import os
+
+    if os.environ.get("GDIET_EVAL_CPU"):
+        # the axon site hook overrides JAX_PLATFORMS; config update is the
+        # only reliable CPU pin (lets evals run while the TPU is busy)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     WORK.mkdir(parents=True, exist_ok=True)
     cont_rows, search = containment()
     tax = taxonomic()
@@ -309,6 +323,11 @@ def main():
         "are 72.7-75.9x search speedup / 723x space on RefSeq-scale data,",
         "README.md:69, ContainmentIndexing.sh:7-108). The 'ref' columns are",
         "the reference GDiet binary on the SAME data/flags on this box.",
+        "",
+        f"Ours-side backend: **{_backend()}**. Space ratios are"
+        " platform-independent; time ratios only reflect the framework's"
+        " target hardware when the backend is tpu (see BENCH_r0N for the"
+        " flagship throughput comparison).",
         "",
         "## Containment indexing sweep (8 Mbp target, map-hifi k19 w16)",
         "",
