@@ -260,7 +260,6 @@ class StepConfig:
     bw_min: int
     bw_max: int
     bw_frac: float
-    occ_thresh: int  # int(0.501*occ_dist)+1 (seed.c:66 streak span)
     occ_dist: int  # mm_seed_select dist (0 = plain high-occ filter)
     max_max_occ: int  # mm_seed_select hard occurrence cap
     q_occ_on: bool
@@ -294,7 +293,7 @@ class StepConfig:
             K=mo.AF_max_loc, max_nb_seeds=max_nb, frac_mode=mo.max_seeds < 1,
             max_seeds=mo.max_seeds, min_cnt=mo.min_cnt,
             rec_frac=mo.rec_threshold_frac, bw_min=mo.bw_min, bw_max=mo.bw_max,
-            bw_frac=mo.bw_frac, occ_thresh=int(0.501 * mo.occ_dist) + 1,
+            bw_frac=mo.bw_frac,
             q_occ_on=mo.q_occ_frac > 0, q_occ_frac=mo.q_occ_frac,
             occ_dist=mo.occ_dist, max_max_occ=mo.max_max_occ,
             mid_occ=mid_occ, match_a=mo.a,
