@@ -82,3 +82,68 @@ def test_device_seed_select_matches_oracle():
         if oregs:
             n_sel_active += 1
     assert n_sel_active >= 20  # the workload really maps
+
+
+def test_seed_select_fuzz_vs_oracle_heap():
+    """Property fuzz: _seed_select_device's kept mask equals the literal
+    oracle heap (oracle/seed.seed_select) over random occurrence/position
+    patterns, including all-low, all-high, singleton, streak-boundary and
+    max_max_occ cases."""
+    import jax.numpy as jnp
+    from dataclasses import replace as dc_replace
+
+    from gdiet_tpu.oracle.seed import Seed, seed_select
+    from gdiet_tpu.pipeline.device_step import (
+        StepConfig, _seed_select_device,
+    )
+    from gdiet_tpu.config import options_for
+    from gdiet_tpu.index.build import DietIndex
+
+    rng = np.random.default_rng(99)
+    io_, mo = options_for("sr", pattern="10")
+    mi = DietIndex(k=21, w=11, pattern="10", names=["c"],
+                   lengths=np.array([1000]), seq_offsets=np.array([0]),
+                   codes=np.zeros(1000, np.uint8),
+                   keys=np.zeros(0, np.uint64), starts=np.zeros(1, np.int64),
+                   positions=np.zeros(0, np.uint64))
+    B, S = 64, 48
+    for trial in range(8):
+        mid_occ = int(rng.integers(1, 12))
+        max_max = mid_occ + int(rng.integers(1, 60))
+        dist = int(rng.integers(20, 400))
+        qlen = int(rng.integers(60, 2000))
+        cfg = StepConfig.from_options(mi, mo, mid_occ, 256, S, 16, 256)
+        cfg = dc_replace(cfg, occ_dist=dist, max_max_occ=max_max)
+
+        # random seeds: mix of missing (cnt 0), low, high, very high
+        cnts = rng.choice(
+            [0, 1, mid_occ, mid_occ + 1, mid_occ + 5, max_max, max_max + 9],
+            size=(B, S),
+        ).astype(np.int64)
+        qpos = np.sort(rng.integers(0, qlen, (B, S)), axis=1).astype(np.int32)
+        n_seed = rng.integers(0, S + 1, B)
+        seed_ok = np.arange(S)[None, :] < n_seed[:, None]
+        lens = np.full(B, qlen, np.int64)
+
+        kept_dev = np.asarray(_seed_select_device(
+            jnp.asarray(cnts), jnp.asarray(qpos), jnp.asarray(seed_ok),
+            jnp.asarray(lens), cfg,
+        ))
+
+        for b in range(B):
+            collected = [
+                (j, Seed(q_pos=int(qpos[b, j]) << 1, q_span=21,
+                         hits=np.zeros(int(cnts[b, j]), np.uint64),
+                         n=int(cnts[b, j])))
+                for j in range(S) if seed_ok[b, j] and cnts[b, j] > 0
+            ]
+            a = [s for _, s in collected]
+            seed_select(a, qlen, mid_occ, max_max, dist)
+            want = np.zeros(S, bool)
+            for (j, _), s in zip(collected, a):
+                want[j] = not s.flt
+            np.testing.assert_array_equal(
+                kept_dev[b], want,
+                err_msg=f"trial {trial} row {b} mid={mid_occ} "
+                        f"mmax={max_max} dist={dist}",
+            )
