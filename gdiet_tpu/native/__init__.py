@@ -88,6 +88,12 @@ def _build() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.radix_sort_kv.restype = None
+    lib.radix_sort_kv.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    ]
     lib.sr_finish_batch.restype = ctypes.c_int64
     lib.sr_finish_batch.argtypes = (
         [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
@@ -108,6 +114,27 @@ lib = _build()
 
 def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> bool:
+    """In-place stable sort of parallel uint64 arrays by (key, val)
+    ascending — same order as ``np.lexsort((vals, keys))`` applied to
+    both, but O(passes) LSD radix in C (index.c:225-266 analog).
+    Returns False (arrays untouched) when the native library is absent.
+    """
+    if lib is None or len(keys) == 0:
+        return lib is not None
+    assert keys.dtype == np.uint64 and vals.dtype == np.uint64
+    assert keys.flags.c_contiguous and vals.flags.c_contiguous
+    key_bits = int(keys.max()).bit_length()
+    val_bits = int(vals.max()).bit_length()
+    tk, tv = np.empty_like(keys), np.empty_like(vals)
+    lib.radix_sort_kv(
+        _ptr(keys, ctypes.c_uint64), _ptr(vals, ctypes.c_uint64),
+        _ptr(tk, ctypes.c_uint64), _ptr(tv, ctypes.c_uint64),
+        len(keys), key_bits, val_bits,
+    )
+    return True
 
 
 def encode_batch(seqs: list[str], lmax: int) -> tuple[np.ndarray, np.ndarray]:

@@ -950,3 +950,47 @@ int64_t extd2_approx(const uint8_t *query, int64_t qlen,
     free(u); free(off); free(p);
     return score;
 }
+
+/* ------------------------------------------------------------------ */
+/* LSD radix sort of parallel (key, val) u64 arrays, key primary / val
+ * secondary, ascending — the host CSR-build analog of the reference's
+ * per-bucket radix_sort_128x (index.c:225-266 via ksort.h:42), run once
+ * over the whole minimizer stream instead of per hash bucket.  16-bit
+ * digits; the caller passes the live bit counts of each word (from the
+ * max values) so constant high digits cost nothing.  A pass whose digit
+ * is constant across the array is skipped without a scatter.  Stable,
+ * so equal (key,val) pairs keep stream order like np.lexsort. */
+void radix_sort_kv(uint64_t *k, uint64_t *v, uint64_t *tk, uint64_t *tv,
+                   int64_t n, int32_t key_bits, int32_t val_bits)
+{
+    enum { D = 16, NB = 1 << 16 };
+    const uint64_t MASK = NB - 1;
+    int64_t *cnt = (int64_t *)malloc((size_t)NB * sizeof(*cnt));
+    if (!cnt || n <= 0) { free(cnt); return; }
+    uint64_t *ak = k, *av = v, *bk = tk, *bv = tv;
+    for (int w = 0; w < 2; w++) {
+        int bits = w ? key_bits : val_bits;
+        for (int sh = 0; sh < bits; sh += D) {
+            const uint64_t *dig = w ? ak : av;
+            memset(cnt, 0, (size_t)NB * sizeof(*cnt));
+            for (int64_t i = 0; i < n; i++) cnt[(dig[i] >> sh) & MASK]++;
+            if (cnt[(dig[0] >> sh) & MASK] == n) continue; /* constant digit */
+            int64_t sum = 0;
+            for (int64_t b = 0; b < NB; b++) {
+                int64_t c = cnt[b]; cnt[b] = sum; sum += c;
+            }
+            for (int64_t i = 0; i < n; i++) {
+                int64_t dst = cnt[(dig[i] >> sh) & MASK]++;
+                bk[dst] = ak[i]; bv[dst] = av[i];
+            }
+            uint64_t *t;
+            t = ak; ak = bk; bk = t;
+            t = av; av = bv; bv = t;
+        }
+    }
+    if (ak != k) {
+        memcpy(k, ak, (size_t)n * sizeof(*k));
+        memcpy(v, av, (size_t)n * sizeof(*v));
+    }
+    free(cnt);
+}
