@@ -155,11 +155,16 @@ def our_reads_per_sec(fa: pathlib.Path, fq: pathlib.Path) -> tuple[float, dict]:
         mi.save(str(idx_path))
 
     reads = list(read_fastx(str(fq)))
-    B = 8192
+    # tuning knobs for profile-driven sweeps (eval/profile_sr.py companion);
+    # defaults are the recorded bench configuration
+    B = int(os.environ.get("GDIET_BENCH_B", 8192))
     Lmax = 160
     mapper = ShortReadMapper(
-        mi, mo, max_read_len=Lmax, seed_budget=32, shift_seed_budget=16,
-        hit_budget=64, dp_frac=0.3125,
+        mi, mo, max_read_len=Lmax,
+        seed_budget=int(os.environ.get("GDIET_BENCH_S", 32)),
+        shift_seed_budget=16,
+        hit_budget=int(os.environ.get("GDIET_BENCH_A", 64)),
+        dp_frac=float(os.environ.get("GDIET_BENCH_DPFRAC", 0.3125)),
     )
 
     # warmup / compile
@@ -550,14 +555,17 @@ def probe_device(timeout_s: int = 900):
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet")
+    # GDIET_BENCH_SR_ONLY=1: time only the SR mapping path (skip reference
+    # re-timing and aux workloads) — for config sweeps after a full run
+    sr_only = bool(os.environ.get("GDIET_BENCH_SR_ONLY"))
     probe_device()
     fa, fq = gen_data()
-    base_stats = baseline_reads_per_sec(fa, fq)
+    base_stats = {} if sr_only else baseline_reads_per_sec(fa, fq)
     # vs_baseline target = GDiet_avx (BASELINE.md); scalar as fallback anchor
     base = base_stats.get("ref_avx_reads_per_sec") or \
         base_stats.get("ref_scalar_reads_per_sec")
     try:
-        mcups = mcups_stat()
+        mcups = 0.0 if sr_only else mcups_stat()
     except Exception:
         mcups = 0.0
     ours, stats = our_reads_per_sec(fa, fq)
@@ -572,6 +580,11 @@ def main():
     if parity is not None:
         stats["sam_parity"] = round(parity, 4)
     stats["extend_kernel_mcups"] = mcups
+    if sr_only:
+        stats["sr_only_sweep"] = True
+        log(f"stats: {json.dumps(stats)}")
+        print(json.dumps(result))
+        return
     try:
         stats.update(lr_stats(fa))
     except Exception as ex:  # aux stats are best-effort
