@@ -106,15 +106,17 @@ def main():
     xs = sk[0][0]
 
     def lookup_only(q):
-        T = jnp.int64(1) << cfg.cuckoo_logt
-        sh = jnp.uint64(64 - cfg.cuckoo_logt)
-        s1 = ((q * jnp.uint64(cfg.cuckoo_c1)) >> sh).astype(jnp.int64)
-        s2 = T + ((q * jnp.uint64(cfg.cuckoo_c2)) >> sh).astype(jnp.int64)
-        k1 = jnp.take(a["idx_keys"], s1)
-        v1 = jnp.take(a["idx_vals"], s1)
-        k2 = jnp.take(a["idx_keys"], s2)
-        v2 = jnp.take(a["idx_vals"], s2)
-        return jnp.where(k1 == q, v1, jnp.where(k2 == q, v2, jnp.uint64(0)))
+        NB = jnp.uint64(cfg.cuckoo_nb)
+        kb = a["idx_keys"].reshape(-1, 4)
+        vb = a["idx_vals"].reshape(-1, 4)
+        t1 = (q * jnp.uint64(cfg.cuckoo_c1)) >> jnp.uint64(32)
+        b1 = ((t1 * NB) >> jnp.uint64(32)).astype(jnp.int64)
+        t2 = (q * jnp.uint64(cfg.cuckoo_c2)) >> jnp.uint64(32)
+        b2 = ((t2 * NB) >> jnp.uint64(32)).astype(jnp.int64) + cfg.cuckoo_nb
+        k1, v1 = jnp.take(kb, b1, axis=0), jnp.take(vb, b1, axis=0)
+        k2, v2 = jnp.take(kb, b2, axis=0), jnp.take(vb, b2, axis=0)
+        return (jnp.where(k1 == q[..., None], v1, jnp.uint64(0)).sum(-1)
+                + jnp.where(k2 == q[..., None], v2, jnp.uint64(0)).sum(-1))
 
     q = xs >> jnp.uint64(8)
     dt, _ = t(jax.jit(lookup_only), q)

@@ -266,13 +266,15 @@ def main():
     results["n_keys"] = int(len(mi.keys))
     results["n_positions"] = int(len(mi.positions))
     # device (HBM) residency of the mapping-time arrays: 2-bit packed seq
-    # (+1-bit N mask), cuckoo probe table (2T slots x 16 B), positions
+    # (+1-bit N mask), cuckoo probe table (2 sides x NB x 4 slots x 16 B),
+    # positions
+    from gdiet_tpu.index.cuckoo import SLOTS
     n_codes = int(mi.lengths.sum())
-    log_t = max(4, int(np.ceil(np.log2(max(len(mi.keys), 1) * 1.1 + 1))))
+    nbk = max(1, int(np.ceil(len(mi.keys) / (2 * SLOTS * 0.85))))
     results["hbm_mb"] = {
         "seq_2bit": round(n_codes / 4 / 1e6, 1),
         "n_mask": round((n_codes / 8 / 1e6) if (mi.codes > 3).any() else 0, 1),
-        "cuckoo": round((2 << log_t) * 16 / 1e6, 1),
+        "cuckoo": round(2 * nbk * SLOTS * 16 / 1e6, 1),
         "positions": round(mi.positions.nbytes / 1e6, 1),
     }
     occ = np.diff(mi.starts)

@@ -116,7 +116,7 @@ class DietIndex:
     def device_cuckoo(self):
         """Device-resident cuckoo probe table over (keys, packed CSR vals),
         cached and shared by every mapper on this index (index/cuckoo.py).
-        Returns (tbl_keys, tbl_vals, c1, c2, log_t)."""
+        Returns (tbl_keys, tbl_vals, c1, c2, n_buckets_per_side)."""
         if "cuckoo" not in self._device:
             from gdiet_tpu.index.cuckoo import build_cuckoo
 

@@ -271,13 +271,14 @@ class StepConfig:
     dp_impl: str = "xla"  # "pallas" on TPU backends
     bucket_shift: int = 0  # top-bits bucket of the key hash (index/build.py)
     bucket_iters: int = 30  # binary-search depth within a bucket
-    # probe = "cuckoo": idx_keys/idx_vals are the 2T-slot cuckoo table
-    # (index/cuckoo.py) — 4 gathers in 2 independent rounds instead of the
-    # bisect's 4-6 dependent ones; "bisect": bucketed binary search
+    # probe = "cuckoo": idx_keys/idx_vals are the bucketed cuckoo table
+    # (index/cuckoo.py, 2 sides x NB buckets x 4 slots) — 4 row gathers in
+    # 2 independent rounds instead of the bisect's 4-6 dependent ones;
+    # "bisect": bucketed binary search
     probe: str = "bisect"
     cuckoo_c1: int = 0
     cuckoo_c2: int = 0
-    cuckoo_logt: int = 0
+    cuckoo_nb: int = 0  # buckets per side
     dp_frac: float = 1.0  # DP/backtrack row budget as a fraction of B*K
     vote_budget: int = 0  # >0: compact the vote stream to this many hits
 
@@ -692,16 +693,26 @@ def collect_hits(
         depth 2. bisect: bucket-table lower bound — ~4-6 dependent gathers.
         """
         if cfg.probe == "cuckoo":
-            T = jnp.int64(1) << cfg.cuckoo_logt
-            sh = jnp.uint64(64 - cfg.cuckoo_logt)
-            s1 = ((q * jnp.uint64(cfg.cuckoo_c1)) >> sh).astype(I64)
-            s2 = T + ((q * jnp.uint64(cfg.cuckoo_c2)) >> sh).astype(I64)
-            k1 = jnp.take(idx_keys, s1)
-            v1 = jnp.take(idx_vals, s1)
-            k2 = jnp.take(idx_keys, s2)
-            v2 = jnp.take(idx_vals, s2)
-            v = jnp.where(k1 == q, v1, jnp.where(k2 == q, v2, jnp.uint64(0)))
-            found = (k1 == q) | (k2 == q)
+            # bucketed table: 2 sides x NB buckets x 4 contiguous slots.
+            # One 32-byte key-row + val-row gather per side, the two sides
+            # independent — serial HBM depth 2 (index/cuckoo.py layout).
+            NB = jnp.uint64(cfg.cuckoo_nb)
+            kb = idx_keys.reshape(-1, 4)
+            vb = idx_vals.reshape(-1, 4)
+            t1 = (q * jnp.uint64(cfg.cuckoo_c1)) >> jnp.uint64(32)
+            b1 = ((t1 * NB) >> jnp.uint64(32)).astype(I64)
+            t2 = (q * jnp.uint64(cfg.cuckoo_c2)) >> jnp.uint64(32)
+            b2 = ((t2 * NB) >> jnp.uint64(32)).astype(I64) + cfg.cuckoo_nb
+            k1 = jnp.take(kb, b1, axis=0)  # [..., 4]
+            v1 = jnp.take(vb, b1, axis=0)
+            k2 = jnp.take(kb, b2, axis=0)
+            v2 = jnp.take(vb, b2, axis=0)
+            m1 = k1 == q[..., None]
+            m2 = k2 == q[..., None]
+            # keys unique -> at most one slot matches across both sides
+            v = (jnp.where(m1, v1, jnp.uint64(0)).sum(axis=-1)
+                 + jnp.where(m2, v2, jnp.uint64(0)).sum(axis=-1))
+            found = m1.any(axis=-1) | m2.any(axis=-1)
             s = (v >> jnp.uint64(24)).astype(I64)
             c = (v & jnp.uint64(0xFFFFFF)).astype(I64)
             return jnp.where(found, s, 0), jnp.where(found, c, 0)
@@ -1229,10 +1240,10 @@ class FusedMapper:
         self.cfg = dataclass_replace(self.cfg, dp_frac=dp_frac)
         if jax.default_backend() == "tpu":
             self.cfg = dataclass_replace(self.cfg, dp_impl="pallas")
-        tk, tv, c1, c2, lt = index.device_cuckoo()
+        tk, tv, c1, c2, nb = index.device_cuckoo()
         self.cfg = dataclass_replace(
             self.cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2,
-            cuckoo_logt=lt,
+            cuckoo_nb=nb,
         )
         maps, pref, _ = _pattern_tables(self.cfg)
         packed, nmask = index.device_packed()

@@ -80,9 +80,9 @@ class LongReadMapper:
         # LR voting keeps vt_nb_loc candidates (map.c:1310)
         cfg = dataclass_replace(cfg, K=mo.vt_nb_loc,
                                 vote_budget=vote_budget)
-        tk, tv, c1, c2, lt = index.device_cuckoo()
+        tk, tv, c1, c2, nb = index.device_cuckoo()
         cfg = dataclass_replace(
-            cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2, cuckoo_logt=lt
+            cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2, cuckoo_nb=nb
         )
         self._use_pallas_dp = jax.default_backend() == "tpu"
         self.cfg = cfg

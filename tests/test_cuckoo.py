@@ -60,14 +60,35 @@ def test_device_probe_matches_csr_lookup():
     np.testing.assert_array_equal(c_got, c_true)
 
     # device-side probe (same arithmetic as collect_hits's cuckoo branch)
-    T = jnp.int64(1) << lt
-    sh = jnp.uint64(64 - lt)
+    NB = jnp.uint64(lt)
+    kb = jnp.asarray(tk).reshape(-1, 4)
+    vb = jnp.asarray(tv).reshape(-1, 4)
     qd = jnp.asarray(q)
-    s1 = ((qd * jnp.uint64(c1)) >> sh).astype(jnp.int64)
-    s2 = T + ((qd * jnp.uint64(c2)) >> sh).astype(jnp.int64)
-    k1 = jnp.take(jnp.asarray(tk), s1)
-    k2 = jnp.take(jnp.asarray(tk), s2)
-    v1 = jnp.take(jnp.asarray(tv), s1)
-    v2 = jnp.take(jnp.asarray(tv), s2)
-    v = jnp.where(k1 == qd, v1, jnp.where(k2 == qd, v2, jnp.uint64(0)))
+    t1 = (qd * jnp.uint64(c1)) >> jnp.uint64(32)
+    b1 = ((t1 * NB) >> jnp.uint64(32)).astype(jnp.int64)
+    t2 = (qd * jnp.uint64(c2)) >> jnp.uint64(32)
+    b2 = ((t2 * NB) >> jnp.uint64(32)).astype(jnp.int64) + int(lt)
+    k1, v1 = jnp.take(kb, b1, axis=0), jnp.take(vb, b1, axis=0)
+    k2, v2 = jnp.take(kb, b2, axis=0), jnp.take(vb, b2, axis=0)
+    v = (jnp.where(k1 == qd[:, None], v1, jnp.uint64(0)).sum(axis=1)
+         + jnp.where(k2 == qd[:, None], v2, jnp.uint64(0)).sum(axis=1))
     np.testing.assert_array_equal(np.asarray(v), np.where(hit, got_v, 0))
+
+
+def test_bucketed_sizing_and_load():
+    """Table bytes scale ~1/load with NO power-of-two cliff: at GRCh38-like
+    key counts the table must fit HBM (the 1-slot 2^ceil design needed
+    17 GB at 250M keys; bucketed needs ~4.7 GB)."""
+    from gdiet_tpu.index.cuckoo import SLOTS
+
+    rng = np.random.default_rng(11)
+    nk = 1_000_000
+    keys = np.unique(rng.integers(0, 1 << 56, int(nk * 1.2), dtype=np.uint64))[:nk]
+    vals = np.arange(nk, dtype=np.uint64)
+    tk, tv, c1, c2, nb = build_cuckoo(keys, vals)
+    assert len(tk) == 2 * nb * SLOTS
+    load = nk / len(tk)
+    assert 0.80 <= load <= 0.90  # sized at ~0.85, no rounding blowup
+    got, found = probe_host(tk, tv, c1, c2, nb, keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, vals)
