@@ -57,11 +57,36 @@ def build_cuckoo(keys: np.ndarray, vals: np.ndarray, max_rounds: int = 512,
     Returns (tbl_keys [2*NB*4] u64, tbl_vals [2*NB*4] u64, c1, c2,
     n_buckets-per-side NB).
     """
-    keys = np.asarray(keys, np.uint64)
-    vals = np.asarray(vals, np.uint64)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    vals = np.ascontiguousarray(vals, np.uint64)
     nk = len(keys)
     # total slots = 2 * NB * SLOTS ~= nk / load
     NB = max(1, int(np.ceil(nk / (2 * SLOTS * load))) if nk else 1)
+
+    # native sequential insertion: O(1) amortized per key — at GRCh38 scale
+    # (250M keys) the vectorized numpy walk below would take >1 h, the C
+    # build ~1 min. Same layout; any valid placement probes identically.
+    from gdiet_tpu import native
+
+    if native.lib is not None:
+        import ctypes
+
+        for c1, c2 in (_DEFAULT_C, *_RETRY_C):
+            tbl_k = np.full(2 * NB * SLOTS, EMPTY, np.uint64)
+            tbl_v = np.zeros(2 * NB * SLOTS, np.uint64)
+            ok = native.lib.cuckoo_build_c(
+                native._ptr(keys, ctypes.c_uint64),
+                native._ptr(vals, ctypes.c_uint64), nk,
+                native._ptr(tbl_k, ctypes.c_uint64),
+                native._ptr(tbl_v, ctypes.c_uint64),
+                NB, c1, c2, 500,
+            )
+            if ok:
+                return tbl_k, tbl_v, c1, c2, NB
+        raise RuntimeError(
+            f"cuckoo build failed for {nk} keys at NB={NB} "
+            "(all hash-constant retries exhausted)"
+        )
 
     for c1, c2 in (_DEFAULT_C, *_RETRY_C):
         tbl_k = np.full(2 * NB * SLOTS, EMPTY, np.uint64)

@@ -88,6 +88,13 @@ def _build() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.cuckoo_build_c.restype = ctypes.c_int
+    lib.cuckoo_build_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64,
+    ]
     lib.radix_sort_kv.restype = None
     lib.radix_sort_kv.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),

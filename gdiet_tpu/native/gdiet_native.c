@@ -994,3 +994,42 @@ void radix_sort_kv(uint64_t *k, uint64_t *v, uint64_t *tk, uint64_t *tv,
     }
     free(cnt);
 }
+
+/* ------------------------------------------------------------------ */
+/* Sequential bucketed-cuckoo insertion (index/cuckoo.py layout: 2 sides
+ * x NB buckets x 4 slots). Each insert probes its bucket for a free
+ * slot, else evicts a rotating victim and continues on the other side
+ * (classic random-walk cuckoo, O(1) amortized). Returns 1 on success,
+ * 0 when some key exceeds max_kicks (caller retries with fresh hash
+ * constants). tbl_k must be prefilled with EMPTY (all-ones). */
+static inline int64_t cuckoo_bucket(uint64_t key, uint64_t c, int64_t NB) {
+    uint64_t t = (key * c) >> 32;
+    return (int64_t)((t * (uint64_t)NB) >> 32);
+}
+
+int cuckoo_build_c(const uint64_t *keys, const uint64_t *vals, int64_t nk,
+                   uint64_t *tbl_k, uint64_t *tbl_v, int64_t NB,
+                   uint64_t c1, uint64_t c2, int64_t max_kicks)
+{
+    const uint64_t CEMPTY = ~(uint64_t)0;
+    for (int64_t i = 0; i < nk; i++) {
+        uint64_t ck = keys[i], cv = vals[i];
+        int side = 0;
+        for (int64_t kick = 0; ; kick++) {
+            if (kick > max_kicks) return 0;
+            int64_t b = cuckoo_bucket(ck, side ? c2 : c1, NB) + side * NB;
+            uint64_t *bk = tbl_k + b * 4, *bv = tbl_v + b * 4;
+            int placed = 0;
+            for (int s = 0; s < 4; s++) {
+                if (bk[s] == CEMPTY) { bk[s] = ck; bv[s] = cv; placed = 1; break; }
+            }
+            if (placed) break;
+            int v = (int)((((ck >> 17) + (uint64_t)kick)) & 3);
+            uint64_t tk0 = bk[v], tv0 = bv[v];
+            bk[v] = ck; bv[v] = cv;
+            ck = tk0; cv = tv0;
+            side ^= 1;
+        }
+    }
+    return 1;
+}

@@ -92,3 +92,19 @@ def test_bucketed_sizing_and_load():
     got, found = probe_host(tk, tv, c1, c2, nb, keys)
     assert found.all()
     np.testing.assert_array_equal(got, vals)
+
+
+def test_numpy_fallback_build(monkeypatch):
+    """The pure-numpy build (no C compiler) places and probes identically."""
+    from gdiet_tpu import native
+    from gdiet_tpu.index import cuckoo as ck
+
+    rng = np.random.default_rng(23)
+    nk = 20_000
+    keys = np.unique(rng.integers(0, 1 << 48, nk * 2, dtype=np.uint64))[:nk]
+    vals = np.arange(nk, dtype=np.uint64)
+    monkeypatch.setattr(native, "lib", None)
+    tk, tv, c1, c2, nb = ck.build_cuckoo(keys, vals)
+    got, found = ck.probe_host(tk, tv, c1, c2, nb, keys)
+    assert found.all()
+    np.testing.assert_array_equal(got, vals)
