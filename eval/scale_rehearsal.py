@@ -224,18 +224,26 @@ def main():
     log(f"devices: {jax.devices()}")
     n_bases = args.genome_mb * 1_000_000
     fa = WORK / "genome.fa"
-    t0 = time.perf_counter()
-    codes, is_rep = synth_genome(n_bases)
-    log(f"synth genome {args.genome_mb} Mbp, repeat frac "
-        f"{is_rep.mean():.3f} in {time.perf_counter() - t0:.0f}s")
-    if not fa.exists():
-        write_fasta(codes, fa)
-
     uni_fq = WORK / "reads_uniform.fq"
     rep_fq = WORK / "reads_repeat.fq"
-    if not uni_fq.exists():
-        make_reads(codes, is_rep, 20000, uni_fq, 100)
-        make_reads(codes, is_rep, 20000, rep_fq, 101, repeats_only=True)
+    meta_path = WORK / "synth_meta.json"
+    if fa.exists() and uni_fq.exists() and rep_fq.exists() \
+            and meta_path.exists():
+        # inputs cached: skip the multi-minute 3 Gbp re-synthesis
+        repeat_frac = json.loads(meta_path.read_text())["repeat_frac"]
+        log(f"cached genome + reads in {WORK} (repeat frac {repeat_frac:.3f})")
+    else:
+        t0 = time.perf_counter()
+        codes, is_rep = synth_genome(n_bases)
+        repeat_frac = float(is_rep.mean())
+        log(f"synth genome {args.genome_mb} Mbp, repeat frac "
+            f"{repeat_frac:.3f} in {time.perf_counter() - t0:.0f}s")
+        if not fa.exists():
+            write_fasta(codes, fa)
+        if not uni_fq.exists():
+            make_reads(codes, is_rep, 20000, uni_fq, 100)
+            make_reads(codes, is_rep, 20000, rep_fq, 101, repeats_only=True)
+        meta_path.write_text(json.dumps({"repeat_frac": repeat_frac}))
 
     from gdiet_tpu.config import options_for
     from gdiet_tpu.index.build import DietIndex, build_index
@@ -244,7 +252,7 @@ def main():
     io_, _ = options_for("sr", pattern="10")
     io_.k, io_.w = 21, 11
     results = {"genome_mb": args.genome_mb,
-               "repeat_frac": round(float(is_rep.mean()), 4),
+               "repeat_frac": round(repeat_frac, 4),
                "platform": jax.devices()[0].platform}
 
     idx_path = WORK / "genome.gdi.npz"
