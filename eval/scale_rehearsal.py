@@ -264,7 +264,10 @@ def main():
         refs = [(r.name, r.seq) for r in read_fastx(str(fa))]
         mi = build_index(refs, io_)
         results["index_build_sec"] = round(time.perf_counter() - t0, 1)
-        mi.save(str(idx_path))
+        try:
+            mi.save(str(idx_path))
+        except Exception as ex:  # keep the in-memory build if disk/zip fails
+            log(f"index save failed ({ex}) — continuing with in-memory index")
     results["index_arrays_mb"] = {
         "keys": round(mi.keys.nbytes / 1e6, 1),
         "positions": round(mi.positions.nbytes / 1e6, 1),

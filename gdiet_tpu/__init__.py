@@ -18,6 +18,12 @@ import os
 
 import jax
 
+# honor JAX_PLATFORMS explicitly: on this deployment the env var alone is
+# not reliably read before plugin discovery (a wedged tunnel plugin then
+# hangs backend init even for CPU-only runs), but the config route is
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: index-build / mapping shapes compile once per
 # machine, not once per process

@@ -118,6 +118,35 @@ def _build() -> ctypes.CDLL | None:
 
 lib = _build()
 
+_SHM_SRC = pathlib.Path(__file__).parent / "shmalloc.c"
+
+
+def shmalloc_path() -> str | None:
+    """Build (cached) and return the LD_PRELOAD malloc interposer that
+    routes >=4 MiB allocations to MAP_SHARED mmap — see shmalloc.c for why
+    this deployment needs it (private-anon first-touch ~5 MB/s). Returns
+    None when unbuildable."""
+    try:
+        src = _SHM_SRC.read_bytes()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = pathlib.Path(
+        os.environ.get("GDIET_NATIVE_CACHE", tempfile.gettempdir())
+    ) / f"gdiet_shmalloc_{tag}.so"
+    if not cache.exists():
+        try:
+            tmp = cache.with_suffix(f".{os.getpid()}.tmp")
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", str(_SHM_SRC),
+                 "-o", str(tmp), "-ldl"],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, cache)
+        except Exception:
+            return None
+    return str(cache)
+
 
 def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
