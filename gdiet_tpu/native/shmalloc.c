@@ -134,11 +134,15 @@ void *realloc(void *p, size_t n) {
     }
     hdr_t *h = our_hdr(p);
     if (h) {
-        size_t total = (n + HDR + 4095) & ~(size_t)4095;
-        hdr_t *nh = (hdr_t *)mremap(h, h->total, total, MREMAP_MAYMOVE);
-        if (nh == MAP_FAILED) return 0;
-        nh->total = total;
-        return (char *)nh + HDR;
+        /* NOTE: mremap cannot grow a MAP_SHARED-anon mapping past the
+         * size of its backing shmem object (SIGBUS on access), so always
+         * allocate-copy-unmap */
+        size_t old_user = h->total - HDR;
+        void *q = n >= THRESH ? big_alloc(n) : (real_malloc ? real_malloc(n) : 0);
+        if (!q) return 0;
+        memcpy(q, p, n < old_user ? n : old_user);
+        munmap(h, h->total);
+        return q;
     }
     if (n >= THRESH) {
         /* foreign -> ours: glibc knows the old usable size; copy min(n) via
