@@ -298,11 +298,14 @@ def main():
     log(f"repeat: {results['repeat']}")
 
     if not args.skip_ref and REF_BIN.exists():
+      try:  # reference side is best-effort: never lose our own results to it
         ridx = WORK / "genome.ref.mmi"
         if not ridx.exists():
             t0 = time.perf_counter()
+            # 120 Mbp took 125 s single-thread -> 3 Gbp projects ~1 h; leave
+            # headroom on this slow-fault box
             subprocess.run([str(REF_BIN), *REF_ARGS, "-d", str(ridx), str(fa)],
-                           check=True, capture_output=True, timeout=3600)
+                           check=True, capture_output=True, timeout=9000)
             results["ref_index_build_sec"] = round(time.perf_counter() - t0, 1)
         for tag, fq in [("uniform", uni_fq), ("repeat", rep_fq)]:
             t0 = time.perf_counter()
@@ -323,6 +326,8 @@ def main():
             results[tag]["sam_parity"] = round(
                 same / max(len(ref_lines), 1), 4)
             results[tag]["n_records"] = [len(our_lines), len(ref_lines)]
+      except Exception as ex:
+        log(f"reference side failed: {ex}")
 
     print(json.dumps(results, indent=1))
     write_scale_md(results, args.out)
