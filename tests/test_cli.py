@@ -88,3 +88,23 @@ def test_copy_comment():
     paf = samio.paf_record("q1", 4, None, ["chr1"], [100], 0, False,
                            MM_F_COPY_COMMENT, "BC:Z:ACGT")
     assert paf.endswith("\tBC:Z:ACGT")
+
+
+def test_cli_mesh_sam_parity(data_dir, tmp_path):
+    """gdiet --mesh 2x2 (cli.py) produces byte-identical SAM to the
+    single-device run on the virtual 8-CPU mesh (the multi-chip CLI
+    entry, the split-index merge analog map.c:1094-1163)."""
+    args = [
+        "-a", "-t", "1", "-x", "sr", "-Z", "10", "-W", "2", "-k", "21",
+        "-w", "11", "-i", "2", "-N", "1", "-r", "0.05,150,200",
+        "-n", "0.95,0.3", "-s", "100", "--AF_max_loc", "2",
+        str(data_dir / "ref.fa"), str(data_dir / "reads.fq"),
+    ]
+    single = tmp_path / "single.sam"
+    meshed = tmp_path / "mesh.sam"
+    assert main(["-o", str(single), *args]) == 0
+    assert main(["--mesh", "2x2", "-o", str(meshed), *args]) == 0
+    strip = lambda p: [l for l in p.read_text().splitlines()
+                       if not l.startswith("@")]
+    assert strip(meshed) == strip(single)
+    assert len(strip(single)) > 0
