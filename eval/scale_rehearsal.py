@@ -381,9 +381,25 @@ def write_scale_md(r, out):
         "The mapping-time device arrays are the HBM-residency row above: "
         "the sequence is 2-bit packed on device (pack_ref_codes — denser "
         "than the reference's 4-bit index.c:350-357 pack) and the lookup is "
-        "a cuckoo table at ~2.2x key+val bytes. At 3 Gbp that is ~0.78 GB "
-        "seq + positions + cuckoo, within one v5e chip's 16 GB HBM. Run "
-        "this script with --genome-mb 3000 for measured numbers.",
+        "a bucketed cuckoo table at ~1.2x key+val bytes (index/cuckoo.py). "
+        "At 3 Gbp that is ~0.78 GB seq + ~2 GB positions + ~4.7 GB cuckoo, "
+        "within one v5e chip's 16 GB HBM. Run this script with "
+        "--genome-mb 3000 for measured numbers.",
+        "",
+        "## Host memory model (this benchmark VM)",
+        "",
+        "This box demand-pages PRIVATE anonymous memory from the hypervisor "
+        "at ~5 MB/s on first touch, and free-page reporting returns freed "
+        "frames to the host immediately, so the cost recurs per fresh "
+        "allocation; SHARED anonymous (shmem) pages are served at RAM "
+        "speed. Large-build runs therefore use the "
+        "gdiet_tpu/native/shmalloc.c LD_PRELOAD interposer (>=4 MiB "
+        "allocations -> MAP_SHARED), which turns an 800 MB numpy "
+        "first-touch from 173 s into 0.8 s. The host CSR build itself is a "
+        "native LSD radix sort + sorted-diff unique (np.lexsort+np.unique "
+        "were ~96 s of the former ~110 s 120 Mbp build). Both our build and "
+        "the reference binary run on the same box and pay the same fault "
+        "costs where not mitigated.",
         "",
         f"Raw JSON: `{json.dumps(r)}`",
     ]
