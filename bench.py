@@ -555,6 +555,9 @@ def probe_device(timeout_s: int = 900):
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_gdiet")
+    from gdiet_tpu import native as _native
+
+    _native.reexec_with_shmalloc()  # fast host allocations (shmalloc.c)
     # GDIET_BENCH_SR_ONLY=1: time only the SR mapping path (skip reference
     # re-timing and aux workloads) — for config sweeps after a full run
     sr_only = bool(os.environ.get("GDIET_BENCH_SR_ONLY"))

@@ -219,6 +219,9 @@ def main():
     # here makes outer retries cheap)
     sys.path.insert(0, str(REPO))
     import gdiet_tpu  # noqa: F401
+    from gdiet_tpu import native as _native
+
+    _native.reexec_with_shmalloc()
     import jax
 
     log(f"devices: {jax.devices()}")

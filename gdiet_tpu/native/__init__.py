@@ -152,6 +152,26 @@ def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
 
 
+def reexec_with_shmalloc():
+    """Re-exec the current process with the shmalloc LD_PRELOAD active
+    (no-op if already active, opted out via GDIET_NO_SHMALLOC, or the
+    interposer can't be built). Call FIRST in heavy host-side entry points
+    (bench.py, eval scripts): on this deployment private-anon first-touch
+    is ~5 MB/s (see shmalloc.c), which otherwise taxes every fresh numpy /
+    XLA-host allocation."""
+    import sys
+
+    if os.environ.get("GDIET_NO_SHMALLOC"):
+        return
+    so = shmalloc_path()
+    if so is None or so in os.environ.get("LD_PRELOAD", ""):
+        return
+    env = dict(os.environ)
+    pre = env.get("LD_PRELOAD", "")
+    env["LD_PRELOAD"] = f"{so} {pre}".strip()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> bool:
     """In-place stable sort of parallel uint64 arrays by (key, val)
     ascending — same order as ``np.lexsort((vals, keys))`` applied to
