@@ -132,8 +132,7 @@ def main():
     print(f"fused step w/o backtrack: {dt * 1e3:.1f} ms", flush=True)
 
     # host finish timing (native C) on the real outputs
-    meta_np = np.asarray(out["meta"])
-    ops_np = np.asarray(out["ops"])
+    meta_np, ops_np = fused.fetch(out, B)
     di = np.arange(B)
     t0 = time.perf_counter()
     native.sr_finish_batch(
@@ -148,13 +147,16 @@ def main():
     print(f"native sr_finish_batch: {(time.perf_counter() - t0) * 1e3:.1f} ms",
           flush=True)
 
-    # D2H fetch cost of the two output tensors
+    # D2H fetch cost of the output tensor(s)
     o = fused(codes_d, lens_d)
     jax.block_until_ready(o)
     t0 = time.perf_counter()
-    np.asarray(o["meta"]); np.asarray(o["ops"])
-    print(f"D2H meta+ops: {(time.perf_counter() - t0) * 1e3:.1f} ms "
-          f"({o['meta'].nbytes + o['ops'].nbytes} bytes)", flush=True)
+    for v in o.values():
+        np.asarray(v)
+    nb_ = sum(v.nbytes for v in o.values())
+    print(f"D2H outputs ({len(o)} tensor(s)): "
+          f"{(time.perf_counter() - t0) * 1e3:.1f} ms ({nb_} bytes)",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -555,7 +555,7 @@ PACK_BK = ("c_valid", "c_score", "c_strand", "chrom", "so", "eo", "ts", "te",
 
 
 def pack_outputs(fields: dict, K: int) -> jnp.ndarray:
-    """[B]-fields + [B,K]-fields -> one [B, 3+13K] i32 tensor (the TPU link
+    """[B]-fields + [B,K]-fields -> one [B, 3+14K] i32 tensor (the TPU link
     has high per-transfer latency; everything small goes device->host in a
     single copy; every field fits 32 bits)."""
     cols = [fields[n].astype(jnp.int32)[:, None] for n in PACK_B]
@@ -579,6 +579,64 @@ def unpack_ops(packed: np.ndarray) -> np.ndarray:
     for j in range(4):
         out[:, :, j] = (packed >> (2 * j)) & 3
     return out.reshape(N, SB * 4)
+
+
+# meta fields that provably fit int16 under the SR envelope (qlen <= 300,
+# scores <= a*Lmax, seed counts <= S): everything except reference
+# coordinates (ts/te), contig id (chrom) and the compacted DP row id
+# (opsrow), which stay int32
+FUSE_I16 = (0, 1, 2, 4, 5, 8, 9, 10, 11, 12)  # PACK_BK indices
+FUSE_I32 = (3, 6, 7, 13)
+
+
+def fuse_out_device(meta: jnp.ndarray, ops: jnp.ndarray, K: int) -> jnp.ndarray:
+    """[B, 3+14K] i32 meta + [N2, OB] u8 packed ops -> ONE [B+N2, W] u8
+    tensor. The TPU tunnel charges high latency PER TRANSFER on top of
+    low bandwidth, so the whole batch result goes device->host in a
+    single copy, with the int16-safe meta fields halved on the way."""
+    B = meta.shape[0]
+
+    def blk(f):
+        b = meta[:, 3 + f * K: 3 + (f + 1) * K]
+        if f == 10:  # dp_score: clamp the NEG_INF zdrop sentinel (-2^30)
+            # into i16 range — its only use is the min_dp_max comparison,
+            # which a guard on the config keeps above -30000
+            b = jnp.maximum(b, -32768)
+        return b
+
+    m16 = jnp.concatenate(
+        [meta[:, :3]] + [blk(f) for f in FUSE_I16], axis=1
+    ).astype(jnp.int16)
+    m32 = jnp.concatenate([blk(f) for f in FUSE_I32], axis=1)
+    b16 = jax.lax.bitcast_convert_type(m16, jnp.uint8).reshape(B, -1)
+    b32 = jax.lax.bitcast_convert_type(m32, jnp.uint8).reshape(B, -1)
+    row = jnp.concatenate([b16, b32], axis=1)
+    W = max(row.shape[1], ops.shape[1])
+    if row.shape[1] < W:
+        row = jnp.pad(row, ((0, 0), (0, W - row.shape[1])))
+    opsr = ops
+    if opsr.shape[1] < W:
+        opsr = jnp.pad(opsr, ((0, 0), (0, W - opsr.shape[1])),
+                       constant_values=255)
+    return jnp.concatenate([row, opsr], axis=0)
+
+
+def unfuse_out(out_np: np.ndarray, B: int, K: int, OB: int):
+    """Host inverse of fuse_out_device: -> (meta [B, 3+14K] i32,
+    ops [N2, OB] u8)."""
+    F16 = 3 + len(FUSE_I16) * K
+    F32 = len(FUSE_I32) * K
+    b = out_np[:B]
+    m16 = np.ascontiguousarray(b[:, : 2 * F16]).view("<i2")
+    m32 = np.ascontiguousarray(b[:, 2 * F16: 2 * F16 + 4 * F32]).view("<i4")
+    meta = np.empty((B, 3 + 14 * K), np.int32)
+    meta[:, :3] = m16[:, :3]
+    for j, f in enumerate(FUSE_I16):
+        meta[:, 3 + f * K: 3 + (f + 1) * K] = m16[:, 3 + j * K: 3 + (j + 1) * K]
+    for j, f in enumerate(FUSE_I32):
+        meta[:, 3 + f * K: 3 + (f + 1) * K] = m32[:, j * K: (j + 1) * K]
+    ops = out_np[B:, :OB]
+    return meta, ops
 
 
 def unpack_outputs(meta: np.ndarray, K: int) -> dict:
@@ -1260,7 +1318,28 @@ class FusedMapper:
         )
         if nmask is not None:
             self.arrays["ref_nmask"] = nmask
-        self._jit = jax.jit(partial(fused_map_step, cfg=self.cfg))
+        # single fused u8 D2H tensor when every i16-packed field provably
+        # fits (SR envelope); wide configs keep the two-tensor layout
+        cfg_ = self.cfg
+        a = max(abs(p) for p in cfg_.params)
+        self.fuse = (cfg_.Lmax <= 4096 and cfg_.S <= 16384
+                     and a * cfg_.Lmax < 32768 and 2 * cfg_.Lmax < 32768
+                     and 2 * cfg_.A + 2 < 32768 and mo.min_dp_max > -30000)
+        if self.fuse:
+            def _step(codes, lens, **arrays):
+                d = fused_map_step(codes, lens, **arrays, cfg=cfg_)
+                return {"out": fuse_out_device(d["meta"], d["ops"], cfg_.K)}
+
+            self._jit = jax.jit(_step)
+        else:
+            self._jit = jax.jit(partial(fused_map_step, cfg=cfg_))
 
     def __call__(self, codes: jnp.ndarray, lens: jnp.ndarray) -> dict:
         return self._jit(codes, lens, **self.arrays)
+
+    def fetch(self, dev: dict, B: int):
+        """Device outputs -> (meta [B, 3+14K] i32, ops u8) on host."""
+        if "out" in dev:
+            return unfuse_out(np.asarray(dev["out"]), B, self.cfg.K,
+                              2 * self.cfg.Lmax // 4)
+        return np.asarray(dev["meta"])[:B], np.asarray(dev["ops"])

@@ -144,9 +144,9 @@ class ShortReadMapper:
                     codes[i, : len(c)] = c
                     lens[i] = r.l_seq
             dev = rf(jnp.asarray(codes), jnp.asarray(lens))
-            regs_list, fb = self._finish_device(
-                dev, codes[: len(chunk)], lens[: len(chunk)], fused=rf
-            )
+            # keep the full padded RB rows: _fetch splits the fused device
+            # tensor on the DISPATCHED row count (pad rows map zero reads)
+            regs_list, fb = self._finish_device(dev, codes, lens, fused=rf)
             for j in range(len(chunk)):
                 if not fb[j]:
                     out[s0 + j] = regs_list[j]
@@ -226,9 +226,10 @@ class ShortReadMapper:
             # async dispatch: returns immediately with device futures
             dev = self.fused(jnp.asarray(dc), jnp.asarray(dl))
             # start the device->host copies early so they overlap the next
-            # batch's device compute and this batch's host finish
-            dev["meta"].copy_to_host_async()
-            dev["ops"].copy_to_host_async()
+            # batch's device compute and this batch's host finish (single
+            # fused u8 tensor off-mesh; meta+ops pair under a mesh)
+            for v in dev.values():
+                v.copy_to_host_async()
         blobs = None
         if sam and dev is not None and native.lib is not None:
             # prebuild the SAM string blobs NOW — this overlaps the device
@@ -334,8 +335,7 @@ class ShortReadMapper:
             with PROFILE.stage(Stage.DEVICE_FUSED):
                 # blocks until the fused dispatch + D2H copies complete:
                 # this is the device's pattern+seed+vote+align time
-                meta_np = self._meta_host(dev, len(device_idx))
-                ops_np = np.asarray(dev["ops"])
+                meta_np, ops_np = self._fetch(dev, len(device_idx))
             di = device_idx
             with PROFILE.stage(Stage.HOST_FINISH):
                 res = native.sr_finish_batch(
@@ -422,13 +422,25 @@ class ShortReadMapper:
             ))
         return ("\n".join(lines) + "\n").encode()
 
+    def _fetch(self, dev, n_rows: int, fused=None):
+        """Device outputs -> (meta i32, ops u8) host arrays. Off-mesh this
+        splits the single fused u8 tensor (device_step.unfuse_out); under a
+        mesh it fetches the meta/ops pair with shard-index globalization.
+        ``n_rows`` must equal the DISPATCHED device batch rows."""
+        fused = fused or self.fused
+        if "out" in dev:
+            return fused.fetch(dev, n_rows)
+        if self.mesh is not None and fused is self.fused:
+            return self._meta_host(dev, n_rows), np.asarray(dev["ops"])
+        return np.asarray(dev["meta"])[:n_rows], np.asarray(dev["ops"])
+
     def _meta_host(self, dev, n_rows: int) -> np.ndarray:
         """Fetch the meta tensor; under a mesh, globalize each data shard's
         LOCAL opsrow indices into the concatenated ops tensor and drop the
         data-axis padding rows."""
         meta = np.asarray(dev["meta"])
         if self.mesh is None:
-            return meta
+            return meta[:n_rows]
         meta = meta.copy()
         K = self.fused.cfg.K
         nd = self.fused.n_data
@@ -469,11 +481,8 @@ class ShortReadMapper:
         B = len(lens_np)
         K = fused.cfg.K
         with PROFILE.stage(Stage.DEVICE_FUSED):
-            out = unpack_outputs(
-                self._meta_host(dev, B) if fused is self.fused
-                else np.asarray(dev["meta"]), K
-            )
-            ops2 = np.asarray(dev["ops"])
+            meta_np, ops2 = self._fetch(dev, B, fused)
+            out = unpack_outputs(meta_np, K)
         _t_host = time.perf_counter_ns()
 
         fallback = out["fallback"]

@@ -97,7 +97,8 @@ def test_device_trace_matches_oracle():
     fused = FusedMapper(mi, mo, Lmax=128, S=32, S2=16, A=128)
     codes, lens = native.encode_batch(reads, 128)
     out = fused(jnp.asarray(codes), jnp.asarray(lens))
-    meta = unpack_outputs(np.asarray(out["meta"]), fused.cfg.K)
+    meta_np, _ = fused.fetch(out, len(reads))
+    meta = unpack_outputs(meta_np, fused.cfg.K)
 
     class _W:
         w, k, pattern = mi.w, mi.k, mi.pattern
