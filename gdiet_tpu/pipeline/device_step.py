@@ -1330,12 +1330,31 @@ class FusedMapper:
                 d = fused_map_step(codes, lens, **arrays, cfg=cfg_)
                 return {"out": fuse_out_device(d["meta"], d["ops"], cfg_.K)}
 
+            # combined input: [B, Lmax+8] u8 with the read length bitcast
+            # into the last 8 bytes per row — ONE H2D transfer per batch
+            # (the tunnel charges latency per transfer)
+            def _step_combined(comb, **arrays):
+                codes = comb[:, : cfg_.Lmax]
+                lens = jax.lax.bitcast_convert_type(
+                    comb[:, cfg_.Lmax:], jnp.int64
+                ).reshape(comb.shape[0])
+                return _step(codes, lens, **arrays)
+
             self._jit = jax.jit(_step)
+            self._jit_combined = jax.jit(_step_combined)
         else:
             self._jit = jax.jit(partial(fused_map_step, cfg=cfg_))
+            self._jit_combined = None
 
-    def __call__(self, codes: jnp.ndarray, lens: jnp.ndarray) -> dict:
-        return self._jit(codes, lens, **self.arrays)
+    def __call__(self, codes, lens) -> dict:
+        if self._jit_combined is not None and isinstance(codes, np.ndarray):
+            B = codes.shape[0]
+            comb = np.empty((B, self.cfg.Lmax + 8), np.uint8)
+            comb[:, : self.cfg.Lmax] = codes
+            comb[:, self.cfg.Lmax:] = np.ascontiguousarray(
+                lens, "<i8").view(np.uint8).reshape(B, 8)
+            return self._jit_combined(jnp.asarray(comb), **self.arrays)
+        return self._jit(jnp.asarray(codes), jnp.asarray(lens), **self.arrays)
 
     def fetch(self, dev: dict, B: int):
         """Device outputs -> (meta [B, 3+14K] i32, ops u8) on host."""

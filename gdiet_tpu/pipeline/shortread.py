@@ -143,7 +143,7 @@ class ShortReadMapper:
                     c = osk.seq_to_code(r.seq)[: self.Lmax]
                     codes[i, : len(c)] = c
                     lens[i] = r.l_seq
-            dev = rf(jnp.asarray(codes), jnp.asarray(lens))
+            dev = rf(codes, lens)
             # keep the full padded RB rows: _fetch splits the fused device
             # tensor on the DISPATCHED row count (pad rows map zero reads)
             regs_list, fb = self._finish_device(dev, codes, lens, fused=rf)
@@ -224,7 +224,8 @@ class ShortReadMapper:
                     )
                     dl = np.concatenate([dl, np.zeros(pad, np.int64)])
             # async dispatch: returns immediately with device futures
-            dev = self.fused(jnp.asarray(dc), jnp.asarray(dl))
+            # (numpy in: FusedMapper ships ONE combined H2D tensor)
+            dev = self.fused(dc, dl)
             # start the device->host copies early so they overlap the next
             # batch's device compute and this batch's host finish (single
             # fused u8 tensor off-mesh; meta+ops pair under a mesh)
