@@ -113,6 +113,18 @@ def _build() -> ctypes.CDLL | None:
         + [ctypes.c_char_p, ctypes.c_int64,
            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
     )
+    lib.pe_finish_batch.restype = ctypes.c_int64
+    lib.pe_finish_batch.argtypes = (
+        [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
+        + [ctypes.c_int64] * 4
+        + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+        + [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)] * 3
+        + [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+        + [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        + [ctypes.c_int64] * 13
+        + [ctypes.c_char_p, ctypes.c_int64,
+           ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+    )
     return lib
 
 
@@ -416,6 +428,67 @@ def sr_finish_batch(
             ref_names_blob, _ptr(ref_name_offs, ctypes.c_int64),
             a, b, q, e, min_dp_max, max_nb_sec,
             1 if no_print_2nd else 0, 1 if softclip else 0, rep_len,
+            out, cap, _ptr(rec_offs, ctypes.c_int64),
+            _ptr(done, ctypes.c_uint8),
+        )
+        if rc >= 0:
+            return out.raw[:rc], rec_offs, done
+        cap *= 4
+    return None
+
+
+def pe_finish_batch(
+    meta: np.ndarray,  # [B, F] int32, B = 2*pairs (even R1 / odd R2)
+    ops: np.ndarray,  # [N2, OB] uint8 compacted 2-bit op streams
+    K: int,
+    Lmax: int,
+    codes: np.ndarray,  # [B, Lmax] uint8 MAPPING orientation
+    lens: np.ndarray,  # [B] int64
+    ref_codes: np.ndarray,
+    ref_seq_offs: np.ndarray,
+    ref_names_blob: bytes,
+    ref_name_offs: np.ndarray,
+    a: int, b: int, q: int, e: int,
+    min_dp_max: int, max_nb_sec: int,
+    no_print_2nd: bool, softclip: bool, rep_len: int,
+    flip0: bool, flip1: bool,
+    max_gap_ref: int, pe_bonus: int,
+    blobs=None,
+):
+    """Entire paired-end host finish (regs + set_sam_params + mm_pair +
+    flip-back + n_seg=2 SAM records) in one C call. ``blobs`` holds the
+    ORIGINAL per-segment (name, seq, qual) byte blobs from make_sr_blobs.
+    Returns (sam_buffer bytes, rec_offs [P+1] per pair, done [P] u8) or
+    None when the native library is unavailable."""
+    if lib is None or blobs is None:
+        return None
+    B = meta.shape[0]
+    meta = np.ascontiguousarray(meta, np.int32)
+    ops = np.ascontiguousarray(ops, np.uint8)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nblob, noffs, sblob, soffs, qblob, qoffs = blobs
+    cap = int(
+        noffs[-1] + 2 * soffs[-1] + qoffs[-1] + B * 480 + (1 << 16)
+    )
+    P = B // 2
+    for _ in range(3):
+        out = ctypes.create_string_buffer(cap)
+        rec_offs = np.zeros(P + 1, np.int64)
+        done = np.zeros(P, np.uint8)
+        rc = lib.pe_finish_batch(
+            _ptr(meta, ctypes.c_int32), _ptr(ops, ctypes.c_uint8),
+            ops.shape[1], B, K, Lmax,
+            _ptr(codes, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
+            nblob, _ptr(noffs, ctypes.c_int64),
+            sblob, _ptr(soffs, ctypes.c_int64),
+            qblob, _ptr(qoffs, ctypes.c_int64),
+            _ptr(np.ascontiguousarray(ref_codes, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(ref_seq_offs, np.int64), ctypes.c_int64),
+            ref_names_blob, _ptr(ref_name_offs, ctypes.c_int64),
+            a, b, q, e, min_dp_max, max_nb_sec,
+            1 if no_print_2nd else 0, 1 if softclip else 0, rep_len,
+            1 if flip0 else 0, 1 if flip1 else 0, max_gap_ref, pe_bonus,
             out, cap, _ptr(rec_offs, ctypes.c_int64),
             _ptr(done, ctypes.c_uint8),
         )

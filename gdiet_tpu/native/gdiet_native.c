@@ -328,7 +328,7 @@ void update_extra_full_batch(const uint8_t *qbuf, const int64_t *qoffs,
 
 typedef struct {
     int32_t rid, qs, qe, rs, re, rev;
-    int32_t mapq, id, parent, sam_pri;
+    int32_t mapq, id, parent, sam_pri, proper_frag;
     int64_t score, dp_score, dp_max, blen, mlen, n_ambi;
     uint32_t cig[SRF_MAX_CIG];
     int64_t n_cig;
@@ -470,7 +470,10 @@ static int64_t srf_rle(const uint8_t *opbytes, int64_t nbytes,
     return m;
 }
 
-/* format one SAM record (mm_write_sam3, format.c:412-602; n_seg == 1).
+/* format one SAM record (mm_write_sam3, format.c:412-602). For paired
+ * segments pass n_seg == 2, the segment index and the mate's primary reg
+ * (r_next, or NULL if the mate is unmapped) to fill flags
+ * 0x1/0x2/0x40/0x80/0x8/0x20 and RNEXT/PNEXT/TLEN (format.c:432-530).
  * Returns the advanced output pointer. */
 static char *srf_write_sam(char *p, const srf_reg_t *r,
                            srf_reg_t *const *regs, int64_t n_regs,
@@ -479,21 +482,43 @@ static char *srf_write_sam(char *p, const srf_reg_t *r,
                            const char *qual, int64_t qual_len,
                            const char *ref_names_blob,
                            const int64_t *ref_name_offs,
-                           int softclip, int64_t rep_len) {
-    int flag = 0;
+                           int softclip, int64_t rep_len,
+                           int n_seg, int seg_idx, const srf_reg_t *r_next) {
+    int flag = n_seg > 1 ? 0x1 : 0;
     if (r == NULL) flag |= 0x4;
     else {
         if (r->rev) flag |= 0x10;
         if (r->parent != r->id) flag |= 0x100;
         else if (!r->sam_pri) flag |= 0x800;
     }
+    if (n_seg > 1) {
+        if (r != NULL && r->proper_frag) flag |= 0x2;
+        if (seg_idx == 0) flag |= 0x40;
+        else if (seg_idx == n_seg - 1) flag |= 0x80;
+        if (r_next == NULL) flag |= 0x8;
+        else if (r_next->rev) flag |= 0x20;
+        /* mm_qname_len: drop a trailing /<digit> (format.c:436) */
+        if (name_len >= 3 && name[name_len - 2] == '/'
+                && name[name_len - 1] >= '0' && name[name_len - 1] <= '9')
+            name_len -= 2;
+    }
+    int64_t this_rid = -1, this_pos = -1;
     p = srf_put_mem(p, name, name_len);
     *p++ = '\t';
     p = srf_put_i64(p, flag);
     *p++ = '\t';
     if (r == NULL) {
-        p = srf_put_str(p, "*\t0\t0\t*");
+        if (r_next != NULL) {   /* unmapped end anchored at the mate */
+            this_rid = r_next->rid; this_pos = r_next->rs;
+            p = srf_put_mem(p, ref_names_blob + ref_name_offs[this_rid],
+                            ref_name_offs[this_rid + 1] - ref_name_offs[this_rid]);
+            *p++ = '\t';
+            p = srf_put_i64(p, this_pos + 1);
+            p = srf_put_str(p, "\t0\t*");
+        } else
+            p = srf_put_str(p, "*\t0\t0\t*");
     } else {
+        this_rid = r->rid; this_pos = r->rs;
         p = srf_put_mem(p, ref_names_blob + ref_name_offs[r->rid],
                         ref_name_offs[r->rid + 1] - ref_name_offs[r->rid]);
         *p++ = '\t';
@@ -514,7 +539,48 @@ static char *srf_write_sam(char *p, const srf_reg_t *r,
             if (clip1) { p = srf_put_i64(p, clip1); *p++ = clip_char; }
         }
     }
-    p = srf_put_str(p, "\t*\t0\t0\t");
+    if (n_seg > 1) {   /* RNEXT / PNEXT / TLEN (format.c:509-530) */
+        int64_t tlen = 0;
+        *p++ = '\t';
+        if (this_rid >= 0 && r_next != NULL) {
+            if (this_rid == r_next->rid) {
+                if (r != NULL) {
+                    int64_t p5 = r->rev ? r->re - 1 : this_pos;
+                    int64_t n5 = r_next->rev ? r_next->re - 1 : r_next->rs;
+                    tlen = n5 - p5;
+                }
+                *p++ = '=';
+                *p++ = '\t';
+                p = srf_put_i64(p, r_next->rs + 1);
+            } else {
+                p = srf_put_mem(p, ref_names_blob + ref_name_offs[r_next->rid],
+                                ref_name_offs[r_next->rid + 1]
+                                - ref_name_offs[r_next->rid]);
+                *p++ = '\t';
+                p = srf_put_i64(p, r_next->rs + 1);
+            }
+        } else if (r_next != NULL) {
+            p = srf_put_mem(p, ref_names_blob + ref_name_offs[r_next->rid],
+                            ref_name_offs[r_next->rid + 1]
+                            - ref_name_offs[r_next->rid]);
+            *p++ = '\t';
+            p = srf_put_i64(p, r_next->rs + 1);
+        } else if (this_rid >= 0) {
+            *p++ = '=';
+            *p++ = '\t';
+            p = srf_put_i64(p, this_pos + 1);
+        } else {
+            *p++ = '*';
+            *p++ = '\t';
+            *p++ = '0';
+        }
+        if (tlen > 0) tlen++;
+        else if (tlen < 0) tlen--;
+        *p++ = '\t';
+        p = srf_put_i64(p, tlen);
+        *p++ = '\t';
+    } else
+        p = srf_put_str(p, "\t*\t0\t0\t");
     /* SEQ / QUAL (format.c:533-559) */
     if (r == NULL || (flag & 0x900) == 0 || softclip) {
         if (r != NULL && r->rev) {
@@ -608,6 +674,103 @@ static char *srf_write_sam(char *p, const srf_reg_t *r,
     return p;
 }
 
+/* Build the filtered, score-sorted candidate reg array for ONE read from
+ * its fused-step meta row (the per-candidate half of sr_finish_batch:
+ * exact-match / RLE + fix_cigar + rescoring, clip/min_dp_max filters and
+ * score insertion sort, map.c:873-979). Returns 0 on success, 1 when the
+ * read must fall back (device fallback flag, cigar overflow, window
+ * overflow). */
+static int srf_build_regs(const int32_t *meta, int64_t K, int64_t Lmax,
+                          const uint8_t *qcodes, int64_t qlen,
+                          const uint8_t *ops_buf, int64_t ops_stride,
+                          const uint8_t *ref_codes, const int64_t *ref_seq_offs,
+                          int64_t a, int64_t b, int64_t q_gap, int64_t e_gap,
+                          int64_t min_dp_max,
+                          srf_reg_t *regs, srf_reg_t **order,
+                          int64_t *n_regs_out) {
+    uint8_t qwin[1024], twin[1024];
+    int64_t n_regs = 0;
+    if (meta[2]) return 1;   /* device fallback */
+    for (int64_t c = 0; c < K; c++) {
+        if (!meta[3 + 0 * K + c]) continue;              /* c_valid */
+        int32_t rev = meta[3 + 2 * K + c];
+        int32_t chrom = meta[3 + 3 * K + c];
+        int32_t so = meta[3 + 4 * K + c], eo = meta[3 + 5 * K + c];
+        int32_t ts = meta[3 + 6 * K + c], te = meta[3 + 7 * K + c];
+        int32_t length = meta[3 + 8 * K + c];
+        int32_t exact = meta[3 + 9 * K + c];
+        int32_t dp_score = meta[3 + 10 * K + c];
+        srf_reg_t *r = &regs[n_regs];
+        /* zero the scalar head only — cig[] is big and overwritten */
+        memset(r, 0, __builtin_offsetof(srf_reg_t, cig));
+        r->n_cig = 0;
+        r->rid = chrom; r->rev = rev;
+        r->qs = so; r->qe = eo + 1; r->rs = ts; r->re = te + 1;
+        const uint8_t *tw_src = ref_codes + ref_seq_offs[chrom] + ts;
+        if (exact) {
+            int64_t n_ambi = 0;
+            for (int64_t j2 = 0; j2 <= te - ts; j2++)
+                if (tw_src[j2] > 3) n_ambi++;
+            r->score = r->dp_score = qlen * a;
+            r->n_ambi = n_ambi;
+            r->blen = r->mlen = length - n_ambi;
+            r->dp_max = a * (length - n_ambi);
+            r->cig[0] = ((uint32_t)length << 4);
+            r->n_cig = 1;
+        } else {
+            int32_t fin_i = meta[3 + 11 * K + c], fin_j = meta[3 + 12 * K + c];
+            int32_t oprow = meta[3 + 13 * K + c];
+            if (oprow == -2) {          /* substitution-only: all-M */
+                r->cig[0] = ((uint32_t)length << 4);
+                r->n_cig = 1;
+            } else if (oprow < 0) return 1;
+            else {
+                int64_t m = srf_rle(ops_buf + oprow * ops_stride,
+                                    ops_stride, fin_i, fin_j, r->cig);
+                if (m < 0) return 1;
+                r->n_cig = m;
+            }
+            int64_t wl = eo - so + 1, tl = te - ts + 1;
+            if (wl > (int64_t)sizeof(qwin) || tl > (int64_t)sizeof(twin))
+                return 1;
+            if (rev)
+                for (int64_t j2 = 0; j2 < wl; j2++)
+                    qwin[j2] = qcodes[eo - j2] ^ 3;
+            else
+                memcpy(qwin, qcodes + so, (size_t)wl);
+            memcpy(twin, tw_src, (size_t)tl);
+            int64_t lead_op, lead_len;
+            int64_t n2 = fix_cigar_c(r->cig, r->n_cig, qwin, twin,
+                                     &lead_op, &lead_len);
+            r->n_cig = n2;
+            int64_t qs_sh = lead_op == 1 ? lead_len : 0;
+            int64_t ts_sh = lead_op == 2 ? lead_len : 0;
+            if (lead_op == 1) { if (rev) r->qe -= lead_len; else r->qs += lead_len; }
+            else if (lead_op == 2) r->rs += lead_len;
+            int64_t out6[6];
+            update_extra_scan(qwin + qs_sh, twin + ts_sh, r->cig, n2,
+                              a, b, q_gap, e_gap, 0, out6);
+            r->blen = out6[0]; r->mlen = out6[1]; r->n_ambi = out6[2];
+            r->dp_max = out6[3];
+            r->score = r->dp_score = dp_score;
+        }
+        /* clip + min_dp_max filter, insertion sort (map.c:956-979) */
+        int64_t clip0 = r->rev ? qlen - r->qe : r->qs;
+        int64_t clip1 = r->rev ? r->qs : qlen - r->qe;
+        if (!(clip0 < qlen && clip1 < qlen) || r->dp_score < min_dp_max)
+            continue;
+        order[n_regs] = r;
+        n_regs++;
+        for (int64_t k = n_regs - 1;
+             k > 0 && order[k]->score > order[k - 1]->score; k--) {
+            srf_reg_t *t = order[k]; order[k] = order[k - 1];
+            order[k - 1] = t;
+        }
+    }
+    *n_regs_out = n_regs;
+    return 0;
+}
+
 /* Finish a whole short-read batch from the fused step's packed tensor:
  * for each non-fallback read, build candidate regs (exact-match or RLE of
  * the device-backtracked op stream + fix_cigar + rescoring), apply the
@@ -643,7 +806,6 @@ int64_t sr_finish_batch(
         sizeof(srf_reg_t) * (size_t)max_regs);
     srf_reg_t **order = (srf_reg_t **)__builtin_malloc(
         sizeof(srf_reg_t *) * (size_t)max_regs);
-    uint8_t qwin[1024], twin[1024];
     if (!regs || !order) {
         if (regs) __builtin_free(regs);
         if (order) __builtin_free(order);
@@ -652,90 +814,15 @@ int64_t sr_finish_batch(
     for (int64_t i = 0; i < B; i++) {
         rec_offs[i] = p - out_buf;
         const int32_t *meta = meta_arr + i * F;
-        if (meta[2]) { done[i] = 0; continue; }   /* device fallback */
-        done[i] = 1;
         int64_t qlen = lens[i];
         const uint8_t *qcodes = codes + i * Lmax;
         int64_t n_regs = 0;
-        int failed = 0;
-        for (int64_t c = 0; c < K && !failed; c++) {
-            if (!meta[3 + 0 * K + c]) continue;              /* c_valid */
-            int32_t rev = meta[3 + 2 * K + c];
-            int32_t chrom = meta[3 + 3 * K + c];
-            int32_t so = meta[3 + 4 * K + c], eo = meta[3 + 5 * K + c];
-            int32_t ts = meta[3 + 6 * K + c], te = meta[3 + 7 * K + c];
-            int32_t length = meta[3 + 8 * K + c];
-            int32_t exact = meta[3 + 9 * K + c];
-            int32_t dp_score = meta[3 + 10 * K + c];
-            srf_reg_t *r = &regs[n_regs];
-            /* zero the scalar head only — cig[] is big and overwritten */
-            memset(r, 0, __builtin_offsetof(srf_reg_t, cig));
-            r->n_cig = 0;
-            r->rid = chrom; r->rev = rev;
-            r->qs = so; r->qe = eo + 1; r->rs = ts; r->re = te + 1;
-            const uint8_t *tw_src = ref_codes + ref_seq_offs[chrom] + ts;
-            if (exact) {
-                int64_t n_ambi = 0;
-                for (int64_t j2 = 0; j2 <= te - ts; j2++)
-                    if (tw_src[j2] > 3) n_ambi++;
-                r->score = r->dp_score = qlen * a;
-                r->n_ambi = n_ambi;
-                r->blen = r->mlen = length - n_ambi;
-                r->dp_max = a * (length - n_ambi);
-                r->cig[0] = ((uint32_t)length << 4);
-                r->n_cig = 1;
-            } else {
-                int32_t fin_i = meta[3 + 11 * K + c], fin_j = meta[3 + 12 * K + c];
-                int32_t oprow = meta[3 + 13 * K + c];
-                if (oprow == -2) {          /* substitution-only: all-M */
-                    r->cig[0] = ((uint32_t)length << 4);
-                    r->n_cig = 1;
-                } else if (oprow < 0) { failed = 1; break; }
-                else {
-                    int64_t m = srf_rle(ops_buf + oprow * ops_stride,
-                                        ops_stride, fin_i, fin_j, r->cig);
-                    if (m < 0) { failed = 1; break; }
-                    r->n_cig = m;
-                }
-                int64_t wl = eo - so + 1, tl = te - ts + 1;
-                if (wl > (int64_t)sizeof(qwin) || tl > (int64_t)sizeof(twin)) {
-                    failed = 1; break;
-                }
-                if (rev)
-                    for (int64_t j2 = 0; j2 < wl; j2++)
-                        qwin[j2] = qcodes[eo - j2] ^ 3;
-                else
-                    memcpy(qwin, qcodes + so, (size_t)wl);
-                memcpy(twin, tw_src, (size_t)tl);
-                int64_t lead_op, lead_len;
-                int64_t n2 = fix_cigar_c(r->cig, r->n_cig, qwin, twin,
-                                         &lead_op, &lead_len);
-                r->n_cig = n2;
-                int64_t qs_sh = lead_op == 1 ? lead_len : 0;
-                int64_t ts_sh = lead_op == 2 ? lead_len : 0;
-                if (lead_op == 1) { if (rev) r->qe -= lead_len; else r->qs += lead_len; }
-                else if (lead_op == 2) r->rs += lead_len;
-                int64_t out6[6];
-                update_extra_scan(qwin + qs_sh, twin + ts_sh, r->cig, n2,
-                                  a, b, q_gap, e_gap, 0, out6);
-                r->blen = out6[0]; r->mlen = out6[1]; r->n_ambi = out6[2];
-                r->dp_max = out6[3];
-                r->score = r->dp_score = dp_score;
-            }
-            /* clip + min_dp_max filter, insertion sort (map.c:956-979) */
-            int64_t clip0 = r->rev ? qlen - r->qe : r->qs;
-            int64_t clip1 = r->rev ? r->qs : qlen - r->qe;
-            if (!(clip0 < qlen && clip1 < qlen) || r->dp_score < min_dp_max)
-                continue;
-            order[n_regs] = r;
-            n_regs++;
-            for (int64_t k = n_regs - 1;
-                 k > 0 && order[k]->score > order[k - 1]->score; k--) {
-                srf_reg_t *t = order[k]; order[k] = order[k - 1];
-                order[k - 1] = t;
-            }
+        if (srf_build_regs(meta, K, Lmax, qcodes, qlen, ops_buf, ops_stride,
+                           ref_codes, ref_seq_offs, a, b, q_gap, e_gap,
+                           min_dp_max, regs, order, &n_regs)) {
+            done[i] = 0; continue;
         }
-        if (failed) { done[i] = 0; p = out_buf + rec_offs[i]; continue; }
+        done[i] = 1;
         const char *name = names_blob + name_offs[i];
         int64_t name_len = name_offs[i + 1] - name_offs[i];
         const char *seq = seq_blob + seq_offs[i];
@@ -749,7 +836,7 @@ int64_t sr_finish_batch(
             }
             p = srf_write_sam(p, NULL, NULL, 0, name, name_len, seq, qlen,
                               qual, qual_len, ref_names_blob, ref_name_offs,
-                              (int)softclip, rep_len);
+                              (int)softclip, rep_len, 1, 0, NULL);
         } else {
             srf_set_sam_params(order, n_regs, qlen, a, max_nb_sec);
             for (int64_t k = 0; k < n_regs; k++) {
@@ -762,11 +849,274 @@ int64_t sr_finish_batch(
                 }
                 p = srf_write_sam(p, r, order, n_regs, name, name_len, seq,
                                   qlen, qual, qual_len, ref_names_blob,
-                                  ref_name_offs, (int)softclip, rep_len);
+                                  ref_name_offs, (int)softclip, rep_len,
+                                  1, 0, NULL);
             }
         }
     }
     rec_offs[B] = p - out_buf;
+    __builtin_free(regs);
+    __builtin_free(order);
+    return p - out_buf;
+}
+
+/* ------------------------------------------------------------------ *
+ * Paired-end finish: mm_pair (pe.c:76-177) + the n_seg == 2 SAM writer.
+ * ------------------------------------------------------------------ */
+
+#include <math.h>
+
+/* x86 cvttss2si semantics: NaN / out-of-range -> INT_MIN (matches the
+ * oracle's _c_int, oracle/hit.py). */
+static int32_t srf_c_int(float x) {
+    if (isnan(x) || x >= 2147483648.0f || x < -2147483648.0f)
+        return (int32_t)(-2147483647 - 1);
+    return (int32_t)x;
+}
+
+typedef struct { int s, rev; uint64_t key; srf_reg_t *r; } srf_pair_ent_t;
+
+/* mm_pair (pe.c:76-177): proper-pair selection + PE mapq blend, operating
+ * on the two ends' score-ordered reg arrays (order[] from srf_build_regs
+ * after srf_set_sam_params). GDiet regs carry hash == 0, so the score's
+ * low 32 bits are 0 (same degeneracy as the Python oracle port,
+ * oracle/hit.py::pair). mm_set_pe_thru (pe.c:45-63) only sets the unused
+ * pe_thru field and is skipped. */
+static void srf_pair(int64_t max_gap_ref, int64_t pe_bonus, int64_t sub_diff,
+                     int64_t match_sc,
+                     srf_reg_t **order0, int64_t n0,
+                     srf_reg_t **order1, int64_t n1) {
+    enum { MAXA = 2 * SRF_MAX_REGS, MAXSC = MAXA * MAXA / 2 + 4 };
+    srf_pair_ent_t a[MAXA];
+    int64_t sc[MAXSC];
+    int64_t na = 0, nsc = 0;
+    int64_t dp_thres = 0;
+    int segs = 0;
+    for (int s = 0; s < 2; s++) {
+        srf_reg_t **ord = s ? order1 : order0;
+        int64_t n = s ? n1 : n0;
+        int64_t mx_dp = 0;
+        for (int64_t i = 0; i < n; i++) {
+            srf_reg_t *r = ord[i];
+            a[na].s = s;
+            a[na].rev = r->rev;
+            a[na].key = ((uint64_t)(uint32_t)r->rid << 33)
+                      | ((uint64_t)(uint32_t)r->rs << 1)
+                      | (uint64_t)(s ^ r->rev);
+            a[na].r = r;
+            na++;
+            if (r->dp_max > mx_dp) mx_dp = r->dp_max;
+            segs |= 1 << s;
+        }
+        dp_thres += mx_dp;
+    }
+    if (segs != 3) return;
+    dp_thres -= pe_bonus;
+    if (dp_thres < 0) dp_thres = 0;
+    /* stable insertion sort by key (the oracle's list.sort) */
+    for (int64_t i = 1; i < na; i++) {
+        srf_pair_ent_t t = a[i];
+        int64_t j = i - 1;
+        while (j >= 0 && a[j].key > t.key) { a[j + 1] = a[j]; j--; }
+        a[j + 1] = t;
+    }
+    int64_t mx = -1;
+    int64_t max_idx[2] = {-1, -1};
+    int64_t last[2] = {-1, -1};
+    for (int64_t i = 0; i < na; i++) {
+        if (a[i].key & 1) {
+            int rev_i = a[i].rev;
+            if (last[rev_i] < 0) continue;
+            srf_reg_t *r = a[i].r;
+            srf_reg_t *q = a[last[rev_i]].r;
+            if (r->rid != q->rid || (int64_t)r->rs - q->re > max_gap_ref)
+                continue;
+            for (int64_t j = last[rev_i]; j >= 0; j--) {
+                if (a[j].rev != rev_i || a[j].s == a[i].s) continue;
+                q = a[j].r;
+                if (r->rid != q->rid || (int64_t)r->rs - q->re > max_gap_ref)
+                    break;
+                if (r->dp_max + q->dp_max < dp_thres) continue;
+                int64_t score = (r->dp_max + q->dp_max) << 32;  /* hash 0 */
+                if (score > mx) {
+                    mx = score;
+                    max_idx[a[j].s] = j;
+                    max_idx[a[i].s] = i;
+                }
+                if (nsc < MAXSC) sc[nsc++] = score;
+            }
+        } else
+            last[a[i].rev] = i;
+    }
+    /* ascending sort of sc (insertion; bounded by MAXSC) */
+    for (int64_t i = 1; i < nsc; i++) {
+        int64_t t = sc[i];
+        int64_t j = i - 1;
+        while (j >= 0 && sc[j] > t) { sc[j + 1] = sc[j]; j--; }
+        sc[j + 1] = t;
+    }
+    if (nsc && mx > 0) {
+        srf_reg_t *rr[2] = {a[max_idx[0]].r, a[max_idx[1]].r};
+        rr[0]->proper_frag = rr[1]->proper_frag = 1;
+        for (int s = 0; s < 2; s++) {
+            srf_reg_t **ord = s ? order1 : order0;
+            int64_t n = s ? n1 : n0;
+            if (rr[s]->id != rr[s]->parent
+                    && rr[s]->parent >= 0 && rr[s]->parent < n) {
+                /* (the bounds guard is a deviation: the oracle would raise
+                 * IndexError on parent == n; never observed in practice) */
+                srf_reg_t *pp = ord[rr[s]->parent];
+                for (int64_t i = 0; i < n; i++)
+                    if (ord[i]->parent == pp->id) ord[i]->parent = rr[s]->id;
+                pp->mapq = 0;
+            }
+            if (!rr[s]->sam_pri) {
+                for (int64_t i = 0; i < n; i++) ord[i]->sam_pri = 0;
+                rr[s]->sam_pri = 1;
+            }
+        }
+        int32_t mapq_pe = rr[0]->mapq > rr[1]->mapq ? rr[0]->mapq : rr[1]->mapq;
+        int64_t n_sub = 0;
+        for (int64_t i = 0; i < nsc; i++)
+            if ((sc[i] >> 32) + sub_diff >= (mx >> 32)) n_sub++;
+        if (nsc > 1) {
+            int32_t mapq_pe_alt = srf_c_int(
+                6.02f * (float)((mx >> 32) - (sc[nsc - 2] >> 32))
+                / (float)match_sc - 4.343f * logf((float)n_sub));
+            if (mapq_pe_alt < mapq_pe) mapq_pe = mapq_pe_alt;
+        }
+        for (int s = 0; s < 2; s++)
+            if (rr[s]->mapq < mapq_pe)
+                rr[s]->mapq = srf_c_int(0.2f * (float)rr[s]->mapq
+                                        + 0.8f * (float)mapq_pe + 0.499f);
+        if (nsc == 1) {
+            for (int s = 0; s < 2; s++)
+                if (rr[s]->mapq < 2) rr[s]->mapq = 2;
+        } else if ((mx >> 32) > (sc[nsc - 2] >> 32)) {
+            for (int s = 0; s < 2; s++)
+                if (rr[s]->mapq < 1) rr[s]->mapq = 1;
+        }
+    }
+}
+
+/* Finish a whole paired-end batch from the fused step's packed tensor.
+ *
+ * Segment layout: B rows, even = R1, odd = R2, both in MAPPING orientation
+ * (the caller already applied the pe_ori revcomp, map.c:1057-1062); flip0/
+ * flip1 say which segment was revcomp'd so its regs are flipped back to the
+ * original read strand after pairing (runtime.py flip-back semantics).
+ * codes/lens are mapping-orientation; the name/seq/qual blobs hold the
+ * ORIGINAL read strings (SAM SEQ/QUAL come from those).
+ *
+ * Per pair: srf_build_regs both ends, srf_set_sam_params each (the normal
+ * single-end finish), then srf_pair (pe.c:76-177), flip-back, and n_seg=2
+ * SAM records with mate fields (format.c:432-530). done[] and rec_offs[]
+ * are PER PAIR (B/2 entries); a pair whose either end cannot be finished
+ * in the envelope gets done[p] = 0 and is redone by the Python path. */
+int64_t pe_finish_batch(
+    const int32_t *meta_arr, const uint8_t *ops_buf, int64_t ops_stride,
+    int64_t B, int64_t K, int64_t Lmax,
+    const uint8_t *codes, const int64_t *lens,
+    const char *names_blob, const int64_t *name_offs,
+    const char *seq_blob, const int64_t *seq_offs,
+    const char *qual_blob, const int64_t *qual_offs,
+    const uint8_t *ref_codes, const int64_t *ref_seq_offs,
+    const char *ref_names_blob, const int64_t *ref_name_offs,
+    int64_t a, int64_t b, int64_t q_gap, int64_t e_gap,
+    int64_t min_dp_max, int64_t max_nb_sec, int64_t no_print_2nd,
+    int64_t softclip, int64_t rep_len,
+    int64_t flip0, int64_t flip1,
+    int64_t max_gap_ref, int64_t pe_bonus,
+    char *out_buf, int64_t out_cap,
+    int64_t *rec_offs, uint8_t *done) {
+    const int64_t F = 3 + 14 * K;
+    const int64_t max_regs = K < SRF_MAX_REGS ? SRF_MAX_REGS : K;
+    const int64_t P = B / 2;
+    char *p = out_buf;
+    char *end = out_buf + out_cap;
+    srf_reg_t *regs = (srf_reg_t *)__builtin_malloc(
+        sizeof(srf_reg_t) * (size_t)(2 * max_regs));
+    srf_reg_t **order = (srf_reg_t **)__builtin_malloc(
+        sizeof(srf_reg_t *) * (size_t)(2 * max_regs));
+    if (!regs || !order) {
+        if (regs) __builtin_free(regs);
+        if (order) __builtin_free(order);
+        return -1;
+    }
+    const int64_t flip[2] = {flip0, flip1};
+    for (int64_t pr = 0; pr < P; pr++) {
+        rec_offs[pr] = p - out_buf;
+        int64_t n_regs[2];
+        srf_reg_t **ord[2] = {order, order + max_regs};
+        int failed = 0;
+        for (int s = 0; s < 2 && !failed; s++) {
+            int64_t i = 2 * pr + s;
+            failed = srf_build_regs(
+                meta_arr + i * F, K, Lmax, codes + i * Lmax, lens[i],
+                ops_buf, ops_stride, ref_codes, ref_seq_offs,
+                a, b, q_gap, e_gap, min_dp_max,
+                regs + s * max_regs, ord[s], &n_regs[s]);
+            if (!failed && n_regs[s] > 0)
+                srf_set_sam_params(ord[s], n_regs[s], lens[i], a, max_nb_sec);
+        }
+        if (failed) { done[pr] = 0; continue; }
+        done[pr] = 1;
+        srf_pair(max_gap_ref, pe_bonus, 2 * a + b, a,
+                 ord[0], n_regs[0], ord[1], n_regs[1]);
+        /* flip the pe_ori-revcomp'd segment's regs back to the original
+         * read strand (runtime.py:493-497) */
+        for (int s = 0; s < 2; s++) {
+            if (!flip[s]) continue;
+            int64_t qlen = lens[2 * pr + s];
+            for (int64_t i = 0; i < n_regs[s]; i++) {
+                srf_reg_t *r = ord[s][i];
+                int32_t qs = r->qs;
+                r->qs = (int32_t)(qlen - r->qe);
+                r->qe = (int32_t)(qlen - qs);
+                r->rev = !r->rev;
+            }
+        }
+        for (int s = 0; s < 2; s++) {
+            int64_t i = 2 * pr + s;
+            int64_t qlen = seq_offs[i + 1] - seq_offs[i];
+            const char *name = names_blob + name_offs[i];
+            int64_t name_len = name_offs[i + 1] - name_offs[i];
+            const char *seq = seq_blob + seq_offs[i];
+            const char *qual = qual_blob + qual_offs[i];
+            int64_t qual_len = qual_offs[i + 1] - qual_offs[i];
+            /* mate primary (get_sam_pri, format.c:379-385) */
+            int m = 1 - s;
+            const srf_reg_t *r_next = NULL;
+            for (int64_t k = 0; k < n_regs[m]; k++)
+                if (ord[m][k]->sam_pri) { r_next = ord[m][k]; break; }
+            if (n_regs[s] == 0) {
+                int64_t need = srf_rec_bound(NULL, NULL, 0, name_len, qlen,
+                                             qual_len, ref_name_offs);
+                if (end - p < need) {
+                    __builtin_free(regs); __builtin_free(order); return -1;
+                }
+                p = srf_write_sam(p, NULL, NULL, 0, name, name_len, seq,
+                                  qlen, qual, qual_len, ref_names_blob,
+                                  ref_name_offs, (int)softclip, rep_len,
+                                  2, s, r_next);
+                continue;
+            }
+            for (int64_t k = 0; k < n_regs[s]; k++) {
+                const srf_reg_t *r = ord[s][k];
+                if (no_print_2nd && r->parent != r->id) continue;
+                int64_t need = srf_rec_bound(r, ord[s], n_regs[s], name_len,
+                                             qlen, qual_len, ref_name_offs);
+                if (end - p < need) {
+                    __builtin_free(regs); __builtin_free(order); return -1;
+                }
+                p = srf_write_sam(p, r, ord[s], n_regs[s], name, name_len,
+                                  seq, qlen, qual, qual_len, ref_names_blob,
+                                  ref_name_offs, (int)softclip, rep_len,
+                                  2, s, r_next);
+            }
+        }
+    }
+    rec_offs[P] = p - out_buf;
     __builtin_free(regs);
     __builtin_free(order);
     return p - out_buf;

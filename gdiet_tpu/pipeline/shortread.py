@@ -193,6 +193,9 @@ class ShortReadMapper:
 
     # ------------------------------------------------------------------
     def _prepare_and_dispatch(self, reads: list[SeqRecord], sam: bool = False):
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
+        _t0 = time.perf_counter_ns()
         B = len(reads)
         if native.lib is not None:
             codes, lens = native.encode_batch([r.seq for r in reads], self.Lmax)
@@ -231,16 +234,18 @@ class ShortReadMapper:
             # fused u8 tensor off-mesh; meta+ops pair under a mesh)
             for v in dev.values():
                 v.copy_to_host_async()
+        PROFILE.add(Stage.HOST_PREP, time.perf_counter_ns() - _t0)
         blobs = None
         if sam and dev is not None and native.lib is not None:
             # prebuild the SAM string blobs NOW — this overlaps the device
             # compute instead of sitting on the blocking finish path
-            di = device_idx
-            blobs = native.make_sr_blobs(
-                [reads[i].name for i in di],
-                [reads[i].seq for i in di],
-                [reads[i].qual or "" for i in di],
-            )
+            with PROFILE.stage(Stage.HOST_BLOBS):
+                di = device_idx
+                blobs = native.make_sr_blobs(
+                    [reads[i].name for i in di],
+                    [reads[i].seq for i in di],
+                    [reads[i].qual or "" for i in di],
+                )
         return reads, codes, lens, host_only, device_idx, dev, blobs
 
     def _finish(self, state) -> list[list[oal.Reg]]:
@@ -358,9 +363,11 @@ class ShortReadMapper:
                     out.append(self._regs_to_sam(rec, regs, rep_len))
                 return b"".join(out)
             buf, rec_offs, done = res
-            for j, i in enumerate(di):
-                if done[j]:
-                    spans[i] = (int(rec_offs[j]), int(rec_offs[j + 1]))
+            with PROFILE.stage(Stage.HOST_ASSEMBLE):
+                ro = rec_offs.tolist()
+                for j, i in enumerate(di):
+                    if done[j]:
+                        spans[i] = (ro[j], ro[j + 1])
         retry_regs: dict[int, list] = {}
         retry_i = [i for i in range(n_real)
                    if spans[i] is None and not host_only[i]]
@@ -377,31 +384,212 @@ class ShortReadMapper:
         oracle_blobs = dict(zip(oracle_i, self._map_oracle(
             lambda i: self._oracle_sam(reads[i], rep_len), oracle_i,
         )))
+        with PROFILE.stage(Stage.HOST_ASSEMBLE):
+            view = memoryview(buf)
+            out = []
+            n_fb = 0
+            i = 0
+            while i < n_real:
+                if spans[i] is not None:
+                    s0 = spans[i][0]
+                    e0 = spans[i][1]
+                    while i + 1 < n_real and spans[i + 1] is not None \
+                            and spans[i + 1][0] == e0:
+                        i += 1
+                        e0 = spans[i][1]
+                    out.append(view[s0:e0])
+                    i += 1
+                elif i in retry_regs:
+                    out.append(self._regs_to_sam(
+                        reads[i], retry_regs[i], rep_len))
+                    i += 1
+                else:
+                    n_fb += 1
+                    out.append(oracle_blobs[i])
+                    i += 1
+            self.stats["fallback_reads"] += n_fb
+            blob = b"".join(out)
+            self.stats["n_records"] += blob.count(b"\n")
+        return blob
+
+    # ------------------------------------------------------------------
+    # Paired-end fast path: both ends map as ordinary fused-step segments
+    # (even rows R1 / odd rows R2, pe_ori-revcomp'd); pairing + mate-field
+    # SAM writing run inside ONE native C call per batch (pe_finish_batch:
+    # mm_pair pe.c:76-177 + format.c:432-530).
+    # ------------------------------------------------------------------
+    def _pe_gap(self) -> int:
+        """Pair gap bound: the reference's frag_gap is never computed in
+        GDiet; bound by the frag-mode fragment budget (map.c:621-622)."""
+        mo = self.mo
+        return (mo.max_gap_ref if mo.max_gap_ref >= 0
+                else max(mo.max_gap, mo.max_frag_len or 800))
+
+    def _pe_flips(self) -> tuple[int, int]:
+        pe_ori = self.mo.pe_ori
+        return (pe_ori >> 1) & 1, pe_ori & 1
+
+    def map_stream_sam_pe(self, pair_batches, rep_len: int = 0):
+        """Pipelined paired-end mapping straight to SAM text: yields one
+        ``bytes`` blob per batch of read PAIRS (order preserved). A batch is
+        a list of (r1, r2) ORIGINAL records or a ``(pairs, n_real)`` tuple
+        for padded tails. Pairs outside the envelope fall back to the exact
+        oracle + Python writer (identical output)."""
+        self.stats = {"fallback_reads": 0, "n_records": 0}
+        prev = None
+        for batch in pair_batches:
+            pairs, n_real = (batch if isinstance(batch, tuple)
+                             else (batch, len(batch)))
+            state = self._prepare_pe(pairs, n_real)
+            if prev is not None:
+                yield self._finish_pe(prev, rep_len)
+            prev = state
+        if prev is not None:
+            yield self._finish_pe(prev, rep_len)
+
+    def _prepare_pe(self, pairs, n_real: int):
+        from gdiet_tpu.io import sam as samio
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
+        _t0 = time.perf_counter_ns()
+        f0, f1 = self._pe_flips()
+        mseqs: list[str] = []
+        for r1, r2 in pairs:
+            mseqs.append(samio.revcomp(r1.seq) if f0 else r1.seq)
+            mseqs.append(samio.revcomp(r2.seq) if f1 else r2.seq)
+        if native.lib is not None:
+            codes, lens = native.encode_batch(mseqs, self.Lmax)
+        else:
+            lens = np.array([len(s) for s in mseqs], np.int64)
+            codes = np.full((len(mseqs), self.Lmax), 255, np.uint8)
+            for i, s in enumerate(mseqs):
+                c = osk.seq_to_code(s)[: self.Lmax]
+                codes[i, : len(c)] = c
+        host_only_pair = (
+            (lens > min(300, self.Lmax)).reshape(-1, 2).any(axis=1)
+        )
+        dev = self.fused(codes, lens)
+        for v in dev.values():
+            v.copy_to_host_async()
+        PROFILE.add(Stage.HOST_PREP, time.perf_counter_ns() - _t0)
+        blobs = None
+        if native.lib is not None:
+            with PROFILE.stage(Stage.HOST_BLOBS):
+                names: list[str] = []
+                seqs: list[str] = []
+                quals: list[str] = []
+                for r1, r2 in pairs:
+                    names += [r1.name, r2.name]
+                    seqs += [r1.seq, r2.seq]
+                    quals += [r1.qual or "", r2.qual or ""]
+                blobs = native.make_sr_blobs(names, seqs, quals)
+        return pairs, codes, lens, host_only_pair, dev, blobs, n_real
+
+    def _finish_pe(self, state, rep_len: int) -> bytes:
+        from gdiet_tpu.config import MM_F_SOFTCLIP
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
+        pairs, codes, lens, host_only, dev, blobs, n_real = state
+        mo = self.mo
+        P = len(pairs)
+        with PROFILE.stage(Stage.DEVICE_FUSED):
+            meta_np, ops_np = self._fetch(dev, 2 * P)
+        f0, f1 = self._pe_flips()
+        res = None
+        if blobs is not None:
+            with PROFILE.stage(Stage.HOST_FINISH):
+                res = native.pe_finish_batch(
+                    meta_np, ops_np, self.fused.cfg.K, self.fused.cfg.Lmax,
+                    codes, lens,
+                    self.mi.codes, self.mi.seq_offsets,
+                    self._ref_names_blob, self._ref_name_offs,
+                    mo.a, mo.b, mo.q, mo.e, mo.min_dp_max,
+                    0 if (mo.flag & MM_F_NO_PRINT_2ND) else mo.best_n,
+                    bool(mo.flag & MM_F_NO_PRINT_2ND),
+                    bool(mo.flag & MM_F_SOFTCLIP), rep_len,
+                    bool(f0), bool(f1), self._pe_gap(), mo.pe_bonus,
+                    blobs=blobs,
+                )
+        with PROFILE.stage(Stage.HOST_ASSEMBLE):
+            spans: list = [None] * P
+            if res is not None:
+                buf, rec_offs, done = res
+                ro = rec_offs.tolist()
+                for pr in range(min(P, n_real)):
+                    if done[pr] and not host_only[pr]:
+                        spans[pr] = (ro[pr], ro[pr + 1])
+            else:
+                buf = b""
         view = memoryview(buf)
         out = []
         n_fb = 0
         i = 0
         while i < n_real:
             if spans[i] is not None:
-                s0 = spans[i][0]
-                e0 = spans[i][1]
+                s0, e0 = spans[i]
                 while i + 1 < n_real and spans[i + 1] is not None \
                         and spans[i + 1][0] == e0:
                     i += 1
                     e0 = spans[i][1]
                 out.append(view[s0:e0])
                 i += 1
-            elif i in retry_regs:
-                out.append(self._regs_to_sam(reads[i], retry_regs[i], rep_len))
-                i += 1
             else:
                 n_fb += 1
-                out.append(oracle_blobs[i])
+                out.append(self._oracle_sam_pe(pairs[i], rep_len))
                 i += 1
         self.stats["fallback_reads"] += n_fb
         blob = b"".join(out)
         self.stats["n_records"] += blob.count(b"\n")
         return blob
+
+    def _oracle_sam_pe(self, pair, rep_len: int) -> bytes:
+        """Exact oracle PE finish for one pair (the generic run_mapping PE
+        semantics: map both pe_ori-revcomp'd ends, mm_pair, flip back,
+        n_seg=2 records)."""
+        from gdiet_tpu.config import MM_F_CIGAR
+        from gdiet_tpu.io import sam as samio
+        from gdiet_tpu.oracle import hit as ohit
+
+        mo = self.mo
+        flips = self._pe_flips()
+        recs = list(pair)
+        mapped = []
+        for j, rec in enumerate(recs):
+            if flips[j]:
+                mapped.append(SeqRecord(
+                    rec.name, samio.revcomp(rec.seq),
+                    rec.qual[::-1] if rec.qual else None, rec.comment))
+            else:
+                mapped.append(rec)
+        results = [
+            map_read(self._oracle_mi(), m.seq, mo, self.mid_occ, m.name)
+            for m in mapped
+        ]
+        if mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
+            ohit.pair(self._pe_gap(), mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
+                      [mapped[0].l_seq, mapped[1].l_seq], results)
+        for j in range(2):
+            if flips[j]:
+                qlen = mapped[j].l_seq
+                for r in results[j] or []:
+                    r.qs, r.qe = qlen - r.qe, qlen - r.qs
+                    r.rev = 0 if r.rev else 1
+        lines = []
+        for j, rec in enumerate(recs):
+            regs = results[j]
+            mate = results[1 - j]
+            if regs:
+                for r in regs:
+                    if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                        continue
+                    lines.append(samio.sam_record(
+                        rec.name, rec.seq, rec.qual, r, regs, self.mi.names,
+                        mo.flag, rep_len, j, 2, mate, index=self.mi))
+            else:
+                lines.append(samio.sam_record(
+                    rec.name, rec.seq, rec.qual, None, [], self.mi.names,
+                    mo.flag, rep_len, j, 2, mate))
+        return ("\n".join(lines) + "\n").encode()
 
     def _regs_to_sam(self, rec: SeqRecord, regs, rep_len: int) -> bytes:
         from gdiet_tpu.io import sam as samio

