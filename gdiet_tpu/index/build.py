@@ -126,6 +126,24 @@ class DietIndex:
             )
         return self._device["cuckoo"]
 
+    def device_cuckoo_kv(self):
+        """Merged-row cuckoo table: each bucket row holds (k0..k3, v0..v3)
+        so ONE 64-byte row gather per side serves both the key compare and
+        the value fetch — half the gather rows of the split-table layout
+        (TPU gathers cost per row; the fused step's lookups were the
+        dominant device term). Built host-side (no transient 2x HBM peak)
+        and cached. Returns (tbl_kv, c1, c2, n_buckets_per_side)."""
+        if "cuckoo_kv" not in self._device:
+            from gdiet_tpu.index.cuckoo import build_cuckoo
+
+            tk, tv, c1, c2, lt = build_cuckoo(self.keys, lookup_vals(self.starts))
+            kv = np.concatenate(
+                [np.asarray(tk).reshape(-1, 4), np.asarray(tv).reshape(-1, 4)],
+                axis=1,
+            ).ravel()
+            self._device["cuckoo_kv"] = (jnp.asarray(kv), c1, c2, lt)
+        return self._device["cuckoo_kv"]
+
     def cal_max_occ(self, f: float) -> int:
         """mm_idx_cal_max_occ (index.c:190-210)."""
         if f <= 0.0 or len(self.keys) == 0:

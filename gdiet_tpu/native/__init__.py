@@ -113,6 +113,11 @@ def _build() -> ctypes.CDLL | None:
         + [ctypes.c_char_p, ctypes.c_int64,
            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
     )
+    lib.pack_codes_batch.restype = None
+    lib.pack_codes_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.pe_finish_batch.restype = ctypes.c_int64
     lib.pe_finish_batch.argtypes = (
         [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
@@ -218,6 +223,20 @@ def encode_batch(seqs: list[str], lmax: int) -> tuple[np.ndarray, np.ndarray]:
         _ptr(out, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
     )
     return out, lens
+
+
+def pack_codes_batch(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[n, lmax] nt4 codes -> ([n, lmax/4] 2-bit pack, [n, lmax/8] N-mask)
+    for the compressed H2D upload (lmax must be a multiple of 8)."""
+    n, lmax = codes.shape
+    codes = np.ascontiguousarray(codes, np.uint8)
+    packed = np.empty((n, lmax // 4), np.uint8)
+    nmask = np.empty((n, lmax // 8), np.uint8)
+    lib.pack_codes_batch(
+        _ptr(codes, ctypes.c_uint8), n, lmax,
+        _ptr(packed, ctypes.c_uint8), _ptr(nmask, ctypes.c_uint8),
+    )
+    return packed, nmask
 
 
 def rle_ops(
@@ -356,10 +375,18 @@ def update_extra_full_batch(jobs: list, a: int, b: int, q: int, e: int,
 
 
 def _blob(strs: list[str]) -> tuple[bytes, np.ndarray]:
-    # offsets must be BYTE offsets: encode per string (a non-ASCII char in
-    # a read name would otherwise desynchronize every later offset)
+    # offsets must be BYTE offsets. Fast path: one join + one encode, with
+    # character-count offsets — valid iff the blob is pure ASCII (byte len
+    # == char len), which reads/names always are in practice. A non-ASCII
+    # char would desynchronize offsets, so fall back to per-string encode
+    # when the lengths disagree.
+    joined = "".join(strs)
+    blob = joined.encode()
+    offs = np.zeros(len(strs) + 1, np.int64)
+    if len(blob) == len(joined):
+        np.cumsum([len(s) for s in strs], out=offs[1:])
+        return blob, offs
     bs = [s.encode() for s in strs]
-    offs = np.zeros(len(bs) + 1, np.int64)
     np.cumsum([len(b) for b in bs], out=offs[1:])
     return b"".join(bs), offs
 

@@ -44,6 +44,34 @@ void encode_batch(const char *reads, const int64_t *offsets, int64_t n,
     }
 }
 
+/* 2-bit pack of an encoded code matrix + N bitmask, the H2D compression
+ * of the fused step's combined input tensor (the TPU tunnel is ~100 MB/s;
+ * 4 bases/byte + 1 bit/base N-mask cuts the per-batch upload ~2.6x).
+ * codes: [n, lmax] u8 (0..3 base, 4 N, 255 pad). packed: [n, lmax/4] u8
+ * (pad/N packs as 0). nmask: [n, lmax/8] u8 little-endian bits (1 = N).
+ * The device reconstructs pad from lens. lmax must be a multiple of 8. */
+void pack_codes_batch(const uint8_t *codes, int64_t n, int64_t lmax,
+                      uint8_t *packed, uint8_t *nmask) {
+    const int64_t pb = lmax / 4, nb = lmax / 8;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *row = codes + i * lmax;
+        uint8_t *pr = packed + i * pb;
+        uint8_t *nr = nmask + i * nb;
+        for (int64_t j = 0; j < pb; j++) {
+            const uint8_t *c4 = row + 4 * j;
+            pr[j] = (uint8_t)((c4[0] & 3) | ((c4[1] & 3) << 2)
+                              | ((c4[2] & 3) << 4) | ((c4[3] & 3) << 6));
+        }
+        for (int64_t j = 0; j < nb; j++) {
+            const uint8_t *c8 = row + 8 * j;
+            uint8_t m = 0;
+            for (int k = 0; k < 8; k++)
+                if (c8[k] == 4) m |= (uint8_t)(1u << k);
+            nr[j] = m;
+        }
+    }
+}
+
 /* ops: [n, smax] op codes (0=M,1=I,2=D, >=3 padding) back-to-front.
  * fin_i/fin_j: leading-gap leftovers. Output: packed (len<<4|op) uint32
  * runs written front-to-back into out[i*max_runs ...]; n_runs[i] = count.
@@ -695,11 +723,14 @@ static int srf_build_regs(const int32_t *meta, int64_t K, int64_t Lmax,
         if (!meta[3 + 0 * K + c]) continue;              /* c_valid */
         int32_t rev = meta[3 + 2 * K + c];
         int32_t chrom = meta[3 + 3 * K + c];
-        int32_t so = meta[3 + 4 * K + c], eo = meta[3 + 5 * K + c];
-        int32_t ts = meta[3 + 6 * K + c], te = meta[3 + 7 * K + c];
-        int32_t length = meta[3 + 8 * K + c];
-        int32_t exact = meta[3 + 9 * K + c];
-        int32_t dp_score = meta[3 + 10 * K + c];
+        int32_t so = meta[3 + 4 * K + c];
+        int32_t ts = meta[3 + 5 * K + c];
+        int32_t length = meta[3 + 6 * K + c];
+        /* eo/te are reconstructed, not transferred (device_step.PACK_BK):
+         * the window geometry pins te - ts == eo - so == length - 1 */
+        int32_t eo = so + length - 1, te = ts + length - 1;
+        int32_t exact = meta[3 + 7 * K + c];
+        int32_t dp_score = meta[3 + 8 * K + c];
         srf_reg_t *r = &regs[n_regs];
         /* zero the scalar head only — cig[] is big and overwritten */
         memset(r, 0, __builtin_offsetof(srf_reg_t, cig));
@@ -718,8 +749,8 @@ static int srf_build_regs(const int32_t *meta, int64_t K, int64_t Lmax,
             r->cig[0] = ((uint32_t)length << 4);
             r->n_cig = 1;
         } else {
-            int32_t fin_i = meta[3 + 11 * K + c], fin_j = meta[3 + 12 * K + c];
-            int32_t oprow = meta[3 + 13 * K + c];
+            int32_t fin_i = meta[3 + 9 * K + c], fin_j = meta[3 + 10 * K + c];
+            int32_t oprow = meta[3 + 11 * K + c];
             if (oprow == -2) {          /* substitution-only: all-M */
                 r->cig[0] = ((uint32_t)length << 4);
                 r->n_cig = 1;
@@ -778,7 +809,7 @@ static int srf_build_regs(const int32_t *meta, int64_t K, int64_t Lmax,
  * SAM params (hit.c:494-557) and write final SAM records.
  *
  * packed row layout (pipeline/device_step.py pack_outputs/pack_ops):
- * (3 + 14*K) little-endian int32 meta columns, then K op streams of
+ * (3 + 12*K) little-endian int32 meta columns, then K op streams of
  * 2*Lmax/4 bytes (2-bit ops, back-to-front).
  *
  * rec_offs[i]..rec_offs[i+1] spans read i's records in out_buf; done[i]=0
@@ -798,7 +829,7 @@ int64_t sr_finish_batch(
     int64_t softclip, int64_t rep_len,
     char *out_buf, int64_t out_cap,
     int64_t *rec_offs, uint8_t *done) {
-    const int64_t F = 3 + 14 * K;
+    const int64_t F = 3 + 12 * K;
     const int64_t max_regs = K < SRF_MAX_REGS ? SRF_MAX_REGS : K;
     char *p = out_buf;
     char *end = out_buf + out_cap;
@@ -1029,7 +1060,7 @@ int64_t pe_finish_batch(
     int64_t max_gap_ref, int64_t pe_bonus,
     char *out_buf, int64_t out_cap,
     int64_t *rec_offs, uint8_t *done) {
-    const int64_t F = 3 + 14 * K;
+    const int64_t F = 3 + 12 * K;
     const int64_t max_regs = K < SRF_MAX_REGS ? SRF_MAX_REGS : K;
     const int64_t P = B / 2;
     char *p = out_buf;

@@ -477,7 +477,7 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
     w = band.astype(i32)
     wcols = jnp.arange(Wd, dtype=i32)[None, :]
 
-    BT_U = 4  # antidiagonals per scan iteration (amortizes step overhead)
+    BT_U = 8  # antidiagonals per scan iteration (amortizes step overhead)
 
     def substep(carry, dslice, r):
         i, j, state, active = carry
@@ -548,9 +548,12 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
     return ops.reshape(Rpad, N).T, fin_i, fin_j
 
 
-# packed-output field order (all cast to int32 in one [B, F] tensor)
+# packed-output field order (all cast to int32 in one [B, F] tensor).
+# eo/te are NOT transferred: the window geometry guarantees
+# te - ts == eo - so == length - 1 on every live candidate (phase 6,
+# map.c:764-840), so the host reconstructs them — 2 columns less D2H.
 PACK_B = ("shift", "extracted", "fallback")
-PACK_BK = ("c_valid", "c_score", "c_strand", "chrom", "so", "eo", "ts", "te",
+PACK_BK = ("c_valid", "c_score", "c_strand", "chrom", "so", "ts",
            "length", "exact", "dp_score", "fin_i", "fin_j", "opsrow")
 
 
@@ -582,11 +585,11 @@ def unpack_ops(packed: np.ndarray) -> np.ndarray:
 
 
 # meta fields that provably fit int16 under the SR envelope (qlen <= 300,
-# scores <= a*Lmax, seed counts <= S): everything except reference
-# coordinates (ts/te), contig id (chrom) and the compacted DP row id
+# scores <= a*Lmax, seed counts <= S): everything except the reference
+# coordinate (ts), contig id (chrom) and the compacted DP row id
 # (opsrow), which stay int32
-FUSE_I16 = (0, 1, 2, 4, 5, 8, 9, 10, 11, 12)  # PACK_BK indices
-FUSE_I32 = (3, 6, 7, 13)
+FUSE_I16 = (0, 1, 2, 4, 6, 7, 8, 9, 10)  # PACK_BK indices
+FUSE_I32 = (3, 5, 11)
 
 
 def fuse_out_device(meta: jnp.ndarray, ops: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -598,7 +601,7 @@ def fuse_out_device(meta: jnp.ndarray, ops: jnp.ndarray, K: int) -> jnp.ndarray:
 
     def blk(f):
         b = meta[:, 3 + f * K: 3 + (f + 1) * K]
-        if f == 10:  # dp_score: clamp the NEG_INF zdrop sentinel (-2^30)
+        if f == 8:  # dp_score: clamp the NEG_INF zdrop sentinel (-2^30)
             # into i16 range — its only use is the min_dp_max comparison,
             # which a guard on the config keeps above -30000
             b = jnp.maximum(b, -32768)
@@ -622,14 +625,14 @@ def fuse_out_device(meta: jnp.ndarray, ops: jnp.ndarray, K: int) -> jnp.ndarray:
 
 
 def unfuse_out(out_np: np.ndarray, B: int, K: int, OB: int):
-    """Host inverse of fuse_out_device: -> (meta [B, 3+14K] i32,
+    """Host inverse of fuse_out_device: -> (meta [B, 3+len(PACK_BK)*K] i32,
     ops [N2, OB] u8)."""
     F16 = 3 + len(FUSE_I16) * K
     F32 = len(FUSE_I32) * K
     b = out_np[:B]
     m16 = np.ascontiguousarray(b[:, : 2 * F16]).view("<i2")
     m32 = np.ascontiguousarray(b[:, 2 * F16: 2 * F16 + 4 * F32]).view("<i4")
-    meta = np.empty((B, 3 + 14 * K), np.int32)
+    meta = np.empty((B, 3 + len(PACK_BK) * K), np.int32)
     meta[:, :3] = m16[:, :3]
     for j, f in enumerate(FUSE_I16):
         meta[:, 3 + f * K: 3 + (f + 1) * K] = m16[:, 3 + j * K: 3 + (j + 1) * K]
@@ -648,6 +651,9 @@ def unpack_outputs(meta: np.ndarray, K: int) -> dict:
     out["fallback"] = out["fallback"].astype(bool)
     out["c_valid"] = out["c_valid"].astype(bool)
     out["exact"] = out["exact"].astype(bool)
+    # reconstructed (not transferred): spans are equal on live candidates
+    out["eo"] = out["so"] + out["length"] - 1
+    out["te"] = out["ts"] + out["length"] - 1
     return out
 
 
@@ -751,20 +757,21 @@ def collect_hits(
         depth 2. bisect: bucket-table lower bound — ~4-6 dependent gathers.
         """
         if cfg.probe == "cuckoo":
-            # bucketed table: 2 sides x NB buckets x 4 contiguous slots.
-            # One 32-byte key-row + val-row gather per side, the two sides
-            # independent — serial HBM depth 2 (index/cuckoo.py layout).
+            # bucketed table: 2 sides x NB buckets x 4 contiguous slots,
+            # keys and values MERGED per row (k0..3, v0..3) — ONE 64-byte
+            # row gather per side (TPU gathers cost per row, and these
+            # lookups are the fused step's dominant device term), the two
+            # sides independent — serial HBM depth 2 (device_cuckoo_kv).
             NB = jnp.uint64(cfg.cuckoo_nb)
-            kb = idx_keys.reshape(-1, 4)
-            vb = idx_vals.reshape(-1, 4)
+            kvb = idx_keys.reshape(-1, 8)
             t1 = (q * jnp.uint64(cfg.cuckoo_c1)) >> jnp.uint64(32)
             b1 = ((t1 * NB) >> jnp.uint64(32)).astype(I64)
             t2 = (q * jnp.uint64(cfg.cuckoo_c2)) >> jnp.uint64(32)
             b2 = ((t2 * NB) >> jnp.uint64(32)).astype(I64) + cfg.cuckoo_nb
-            k1 = jnp.take(kb, b1, axis=0)  # [..., 4]
-            v1 = jnp.take(vb, b1, axis=0)
-            k2 = jnp.take(kb, b2, axis=0)
-            v2 = jnp.take(vb, b2, axis=0)
+            r1 = jnp.take(kvb, b1, axis=0)  # [..., 8]
+            r2 = jnp.take(kvb, b2, axis=0)
+            k1, v1 = r1[..., :4], r1[..., 4:]
+            k2, v2 = r2[..., :4], r2[..., 4:]
             m1 = k1 == q[..., None]
             m2 = k2 == q[..., None]
             # keys unique -> at most one slot matches across both sides
@@ -806,15 +813,21 @@ def collect_hits(
 
     if not cfg.frac_mode:
         # ---- phases 1+2 merged (absolute -i): mm_sketch2 per shift IS the
-        # full-read sketch, so the chosen shift's mm_sketch3 seed stream and
-        # its CSR lookups equal the phase-1 ones — sketch and look up each
-        # shift ONCE at the full seed budget, then select by argmax shift
-        # (mm_sketch2/mm_sketch3 sketch.c:2143/1908, mm_get_shift
-        # seed.c:166) ----
+        # full-read sketch, so the chosen shift's mm_sketch3 seed stream
+        # equals the phase-1 one — sketch each shift ONCE at the full seed
+        # budget, then select by argmax shift (mm_sketch2/mm_sketch3
+        # sketch.c:2143/1908, mm_get_shift seed.c:166). Only the first
+        # `-i` seeds' occurrence counts feed the shift argmax, so the
+        # inference lookups probe just those columns; the selected shift's
+        # full stream is looked up once in phase 3 — ~3x fewer probe-row
+        # gathers than full-budget lookups of every shift ----
         nb_hits = []
         per_shift = []
         cap = jnp.full((B,), cfg.max_seeds, I64)
         unlimited = cap == 0  # cap==0 means "no cap" (see sketch.c push loop)
+        cap_int = int(cfg.max_seeds)
+        cap_cols = cfg.S if cap_int <= 0 else min(cfg.S, cap_int)
+        effs = []
         for s in range(W):
             dlen = _diet_len(lens, s, pref, W)
             rp = jnp.broadcast_to(maps[s], (B, Dmax))
@@ -822,11 +835,20 @@ def collect_hits(
             xs_s, ys_s, _, n_s = sketch(dc, dlen, rp, cfg.S)
             eff = jnp.where(unlimited, n_s, jnp.minimum(n_s, cap))
             fallback = fallback | ((n_s >= cfg.S) & (unlimited | (cap > cfg.S)))
-            st_s, cnt_s = lookup(xs_s >> jnp.uint64(8))
-            cnt_g = jax.lax.psum(cnt_s, ref_axis) if ref_axis is not None else cnt_s
-            mask = jnp.arange(cfg.S, dtype=I64)[None, :] < eff[:, None]
+            effs.append(eff)
+            per_shift.append((xs_s, ys_s, n_s))
+        # ONE probe call for all shifts' capped columns (gathers have a
+        # fixed launch cost on top of the per-row cost)
+        qcat = jnp.concatenate(
+            [t[0][:, :cap_cols] for t in per_shift], axis=1
+        ) >> jnp.uint64(8)
+        _, cnt_cat = lookup(qcat)
+        if ref_axis is not None:
+            cnt_cat = jax.lax.psum(cnt_cat, ref_axis)
+        for s in range(W):
+            cnt_g = cnt_cat[:, s * cap_cols : (s + 1) * cap_cols]
+            mask = jnp.arange(cap_cols, dtype=I64)[None, :] < effs[s][:, None]
             nb_hits.append((cnt_g * mask).sum(axis=1))
-            per_shift.append((xs_s, ys_s, n_s, st_s, cnt_s, cnt_g))
         shift = jnp.argmax(jnp.stack(nb_hits), axis=0).astype(I64)
 
         def _sel(field):
@@ -838,7 +860,7 @@ def collect_hits(
             return out
 
         xs, ys, n3 = _sel(0), _sel(1), _sel(2)
-        starts, cnts_local, cnts_global = _sel(3), _sel(4), _sel(5)
+        starts = cnts_local = cnts_global = None  # phase 3 looks up once
         if cfg.S < cfg.max_nb_seeds:
             fallback = fallback | (n3 > cfg.S)
     else:
@@ -1298,7 +1320,7 @@ class FusedMapper:
         self.cfg = dataclass_replace(self.cfg, dp_frac=dp_frac)
         if jax.default_backend() == "tpu":
             self.cfg = dataclass_replace(self.cfg, dp_impl="pallas")
-        tk, tv, c1, c2, nb = index.device_cuckoo()
+        tkv, c1, c2, nb = index.device_cuckoo_kv()
         self.cfg = dataclass_replace(
             self.cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2,
             cuckoo_nb=nb,
@@ -1306,8 +1328,8 @@ class FusedMapper:
         maps, pref, _ = _pattern_tables(self.cfg)
         packed, nmask = index.device_packed()
         self.arrays = dict(
-            idx_keys=tk,
-            idx_vals=tv,
+            idx_keys=tkv,  # merged (k0..3, v0..3) rows; vals unused
+            idx_vals=jnp.zeros((1,), jnp.uint64),
             idx_positions=jnp.asarray(index.positions),
             idx_buckets=jnp.zeros((1,), jnp.int64),  # unused under cuckoo
             ref_codes=packed,
@@ -1340,13 +1362,56 @@ class FusedMapper:
                 ).reshape(comb.shape[0])
                 return _step(codes, lens, **arrays)
 
+            # 2-bit packed combined input: [B, Lmax/4 | Lmax/8 | 8] u8 =
+            # packed bases | N bitmask | lens — a further ~2.6x H2D cut
+            # (the tunnel also has low bandwidth); codes are rebuilt on
+            # the VPU: pad from lens, N from the mask
+            L_ = cfg_.Lmax
+            PB, NB8 = L_ // 4, L_ // 8
+
+            def _step_packed(comb, **arrays):
+                B = comb.shape[0]
+                packed = comb[:, :PB].astype(jnp.int32)
+                nmask = comb[:, PB:PB + NB8].astype(jnp.int32)
+                lens = jax.lax.bitcast_convert_type(
+                    comb[:, PB + NB8:], jnp.int64
+                ).reshape(B)
+                sh2 = (2 * jnp.arange(4, dtype=jnp.int32))[None, None, :]
+                codes4 = ((packed[:, :, None] >> sh2) & 3).reshape(B, L_)
+                sh1 = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+                nbits = ((nmask[:, :, None] >> sh1) & 1).reshape(B, L_)
+                j = jnp.arange(L_, dtype=jnp.int64)[None, :]
+                codes = jnp.where(nbits != 0, 4, codes4)
+                codes = jnp.where(
+                    j >= lens[:, None], 255, codes
+                ).astype(jnp.uint8)
+                return _step(codes, lens, **arrays)
+
             self._jit = jax.jit(_step)
             self._jit_combined = jax.jit(_step_combined)
+            self._jit_packed = (
+                jax.jit(_step_packed) if L_ % 8 == 0 else None
+            )
         else:
             self._jit = jax.jit(partial(fused_map_step, cfg=cfg_))
             self._jit_combined = None
+            self._jit_packed = None
 
     def __call__(self, codes, lens) -> dict:
+        from gdiet_tpu import native as _native
+
+        if (self._jit_packed is not None and isinstance(codes, np.ndarray)
+                and _native.lib is not None):
+            B = codes.shape[0]
+            L_ = self.cfg.Lmax
+            PB, NB8 = L_ // 4, L_ // 8
+            comb = np.empty((B, PB + NB8 + 8), np.uint8)
+            packed, nmask = _native.pack_codes_batch(codes)
+            comb[:, :PB] = packed
+            comb[:, PB:PB + NB8] = nmask
+            comb[:, PB + NB8:] = np.ascontiguousarray(
+                lens, "<i8").view(np.uint8).reshape(B, 8)
+            return self._jit_packed(jnp.asarray(comb), **self.arrays)
         if self._jit_combined is not None and isinstance(codes, np.ndarray):
             B = codes.shape[0]
             comb = np.empty((B, self.cfg.Lmax + 8), np.uint8)

@@ -80,7 +80,7 @@ class LongReadMapper:
         # LR voting keeps vt_nb_loc candidates (map.c:1310)
         cfg = dataclass_replace(cfg, K=mo.vt_nb_loc,
                                 vote_budget=vote_budget)
-        tk, tv, c1, c2, nb = index.device_cuckoo()
+        tkv, c1, c2, nb = index.device_cuckoo_kv()
         cfg = dataclass_replace(
             cfg, probe="cuckoo", cuckoo_c1=c1, cuckoo_c2=c2, cuckoo_nb=nb
         )
@@ -88,8 +88,8 @@ class LongReadMapper:
         self.cfg = cfg
         maps, pref, _ = ds._pattern_tables(cfg)
         self.arrays = dict(
-            idx_keys=tk,
-            idx_vals=tv,
+            idx_keys=tkv,  # merged (k0..3, v0..3) rows; vals unused
+            idx_vals=jnp.zeros((1,), jnp.uint64),
             idx_positions=jnp.asarray(index.positions),
             idx_buckets=jnp.zeros((1,), jnp.int64),  # unused under cuckoo
             maps=jnp.asarray(maps),

@@ -293,16 +293,58 @@ class ShortReadMapper:
         Also accumulates ``self.stats`` = {"fallback_reads", "n_records"}.
         """
         self.stats = {"fallback_reads": 0, "n_records": 0}
-        prev = None
-        for batch in batches:
-            batch, n_real = (batch if isinstance(batch, tuple)
-                             else (batch, len(batch)))
-            state = (*self._prepare_and_dispatch(batch, sam=True), n_real)
-            if prev is not None:
-                yield self._finish_sam(prev, rep_len)
-            prev = state
-        if prev is not None:
-            yield self._finish_sam(prev, rep_len)
+        import queue
+        import threading
+
+        from gdiet_tpu.utils.profile import PROFILE, Stage
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            """Device leg (kt_pipeline steps 0+1, kthread.c:97-159): batch
+            iteration/IO, encode, dispatch AND the blocking tunnel fetch all
+            run here, overlapping the main thread's native finish (ctypes
+            releases the GIL, so the two legs genuinely run concurrently;
+            the profiler's stage walls therefore overlap and may sum past
+            the total)."""
+            def _fetch_state(state):
+                dev, device_idx = state[5], state[4]
+                if dev is None:
+                    return None
+                with PROFILE.stage(Stage.DEVICE_FUSED):
+                    return self._fetch(dev, len(device_idx))
+
+            try:
+                prev = None
+                for batch in batches:
+                    batch, n_real = (batch if isinstance(batch, tuple)
+                                     else (batch, len(batch)))
+                    state = (*self._prepare_and_dispatch(batch, sam=True),
+                             n_real)
+                    # one-batch lookahead: batch k+1 is dispatched BEFORE
+                    # batch k's blocking fetch, keeping the device busy
+                    # through the tunnel wait
+                    if prev is not None:
+                        q.put((prev, _fetch_state(prev)))
+                    prev = state
+                if prev is not None:
+                    q.put((prev, _fetch_state(prev)))
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+            else:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            state, fetched = item
+            yield self._finish_sam(state, rep_len, fetched=fetched)
+        t.join()
 
     def _oracle_sam(self, rec: SeqRecord, rep_len: int) -> bytes:
         """Scalar-oracle mapping + Python SAM formatting for one read."""
@@ -327,7 +369,7 @@ class ShortReadMapper:
             ))
         return ("\n".join(lines) + "\n").encode()
 
-    def _finish_sam(self, state, rep_len: int) -> bytes:
+    def _finish_sam(self, state, rep_len: int, fetched=None) -> bytes:
         from gdiet_tpu.config import MM_F_SOFTCLIP
 
         reads, codes, lens, host_only, device_idx, dev, blobs, n_real = state
@@ -338,10 +380,13 @@ class ShortReadMapper:
         from gdiet_tpu.utils.profile import PROFILE, Stage
 
         if dev is not None:
-            with PROFILE.stage(Stage.DEVICE_FUSED):
-                # blocks until the fused dispatch + D2H copies complete:
-                # this is the device's pattern+seed+vote+align time
-                meta_np, ops_np = self._fetch(dev, len(device_idx))
+            if fetched is not None:  # producer thread already fetched
+                meta_np, ops_np = fetched
+            else:
+                with PROFILE.stage(Stage.DEVICE_FUSED):
+                    # blocks until the fused dispatch + D2H copies complete:
+                    # this is the device's pattern+seed+vote+align time
+                    meta_np, ops_np = self._fetch(dev, len(device_idx))
             di = device_idx
             with PROFILE.stage(Stage.HOST_FINISH):
                 res = native.sr_finish_batch(
@@ -364,6 +409,13 @@ class ShortReadMapper:
                 return b"".join(out)
             buf, rec_offs, done = res
             with PROFILE.stage(Stage.HOST_ASSEMBLE):
+                # fast path: every read device-finished and in order — the
+                # whole batch is one contiguous buffer slice (the common
+                # case; the span loop below is only for fallback routing)
+                if len(device_idx) == B and n_real == B and done.all():
+                    end = int(rec_offs[B])
+                    self.stats["n_records"] += buf.count(b"\n", 0, end)
+                    return memoryview(buf)[:end]
                 ro = rec_offs.tolist()
                 for j, i in enumerate(di):
                     if done[j]:
@@ -636,7 +688,7 @@ class ShortReadMapper:
         Bp = meta.shape[0]
         n2 = self.fused.n2_local(Bp)
         bl = Bp // nd
-        cols = slice(3 + 13 * K, 3 + 14 * K)
+        cols = slice(3 + 11 * K, 3 + 12 * K)  # opsrow (device_step.PACK_BK)
         for d in range(1, nd):
             blk = meta[d * bl : (d + 1) * bl, cols]
             blk[blk >= 0] += d * n2

@@ -14,14 +14,14 @@ from gdiet_tpu.pipeline.device_step import (
 def test_fused_roundtrip_bit_exact():
     rng = np.random.default_rng(4)
     B, K, OB = 37, 3, 44
-    F = 3 + 14 * K
+    F = 3 + 12 * K
     meta = rng.integers(-3000, 30000, (B, F), dtype=np.int32)
-    # i32-only fields may exceed i16: chrom(3), ts(6), te(7), opsrow(13)
-    for f in (3, 6, 7, 13):
+    # i32-only fields may exceed i16: chrom(3), ts(5), opsrow(11)
+    for f in (3, 5, 11):
         meta[:, 3 + f * K: 3 + (f + 1) * K] = rng.integers(
             -1, 3_000_000_000 // 2, (B, K), dtype=np.int32)
-    # dp_score(10): include NEG_INF sentinels -> clamped to -32768
-    dp = slice(3 + 10 * K, 3 + 11 * K)
+    # dp_score(8): include NEG_INF sentinels -> clamped to -32768
+    dp = slice(3 + 8 * K, 3 + 9 * K)
     meta[::5, dp] = NEG_INF
     ops = rng.integers(0, 256, (37 * 2, OB), dtype=np.uint8)
 
