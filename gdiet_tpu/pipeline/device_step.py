@@ -593,10 +593,11 @@ FUSE_I32 = (3, 5, 11)
 
 
 def fuse_out_device(meta: jnp.ndarray, ops: jnp.ndarray, K: int) -> jnp.ndarray:
-    """[B, 3+14K] i32 meta + [N2, OB] u8 packed ops -> ONE [B+N2, W] u8
-    tensor. The TPU tunnel charges high latency PER TRANSFER on top of
-    low bandwidth, so the whole batch result goes device->host in a
-    single copy, with the int16-safe meta fields halved on the way."""
+    """[B, 3+12K] i32 meta + [N2, OB] u8 packed ops -> ONE [R, W] u8
+    tensor. The TPU tunnel charges high latency PER TRANSFER on top of low
+    (~40 MB/s) bandwidth, so the whole batch result goes device->host in a
+    single copy: the int16-safe meta fields are halved on the way and the
+    meta byte-block is reflowed DENSELY to the ops width (no per-row pad)."""
     B = meta.shape[0]
 
     def blk(f):
@@ -614,14 +615,18 @@ def fuse_out_device(meta: jnp.ndarray, ops: jnp.ndarray, K: int) -> jnp.ndarray:
     b16 = jax.lax.bitcast_convert_type(m16, jnp.uint8).reshape(B, -1)
     b32 = jax.lax.bitcast_convert_type(m32, jnp.uint8).reshape(B, -1)
     row = jnp.concatenate([b16, b32], axis=1)
-    W = max(row.shape[1], ops.shape[1])
-    if row.shape[1] < W:
-        row = jnp.pad(row, ((0, 0), (0, W - row.shape[1])))
-    opsr = ops
-    if opsr.shape[1] < W:
-        opsr = jnp.pad(opsr, ((0, 0), (0, W - opsr.shape[1])),
-                       constant_values=255)
-    return jnp.concatenate([row, opsr], axis=0)
+    W = ops.shape[1]
+    flat = row.reshape(-1)
+    pad = (-flat.shape[0]) % W
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.uint8)])
+    return jnp.concatenate([flat.reshape(-1, W), ops], axis=0)
+
+
+def fuse_rows(B: int, K: int, OB: int) -> int:
+    """Rows the reflowed meta block occupies in the fused tensor."""
+    per_row = 2 * (3 + len(FUSE_I16) * K) + 4 * len(FUSE_I32) * K
+    return -(-B * per_row // OB)
 
 
 def unfuse_out(out_np: np.ndarray, B: int, K: int, OB: int):
@@ -629,7 +634,8 @@ def unfuse_out(out_np: np.ndarray, B: int, K: int, OB: int):
     ops [N2, OB] u8)."""
     F16 = 3 + len(FUSE_I16) * K
     F32 = len(FUSE_I32) * K
-    b = out_np[:B]
+    MR = fuse_rows(B, K, OB)
+    b = out_np[:MR].reshape(-1)[: B * (2 * F16 + 4 * F32)].reshape(B, -1)
     m16 = np.ascontiguousarray(b[:, : 2 * F16]).view("<i2")
     m32 = np.ascontiguousarray(b[:, 2 * F16: 2 * F16 + 4 * F32]).view("<i4")
     meta = np.empty((B, 3 + len(PACK_BK) * K), np.int32)
@@ -638,7 +644,7 @@ def unfuse_out(out_np: np.ndarray, B: int, K: int, OB: int):
         meta[:, 3 + f * K: 3 + (f + 1) * K] = m16[:, 3 + j * K: 3 + (j + 1) * K]
     for j, f in enumerate(FUSE_I32):
         meta[:, 3 + f * K: 3 + (f + 1) * K] = m32[:, j * K: (j + 1) * K]
-    ops = out_np[B:, :OB]
+    ops = out_np[MR:, :OB]
     return meta, ops
 
 
@@ -737,6 +743,7 @@ def collect_hits(
     cfg: StepConfig,
     ref_axis: str | None = None,
     n_ref: int = 1,
+    upto: str | None = None,
 ):
     """Shared device front of mm_map_frag (phases 1-3: shift inference,
     query sketch, CSR lookup, hit expansion + per-strand sort). Used by both
@@ -744,6 +751,10 @@ def collect_hits(
 
     Returns (fallback, shift, extracted, mv_n, capped,
              fk, fq, fok, rk, rq, rok, A_stream).
+
+    ``upto`` cuts the computation early for the five-stage profiler
+    (utils/profile.py; the reference's -DPROFILE split, profile.h:6-28):
+    "pattern" stops after shift inference, returning (fallback, shift).
     """
     B = codes.shape[0]
     W = len(cfg.pattern)
@@ -902,6 +913,9 @@ def collect_hits(
         if cfg.S < cfg.max_nb_seeds:
             fallback = fallback | (n3 > cfg.S)
         starts = cnts_local = cnts_global = None
+
+    if upto == "pattern":  # five-stage profiler cut (pf_pattern_alignment)
+        return fallback, shift
 
     cap_col = min(cfg.max_nb_seeds, cfg.S) - 1
     capped = n3 >= cfg.max_nb_seeds
@@ -1095,6 +1109,8 @@ def fused_map_step(
     n_ref: int = 1,
     backtrack: bool = True,
     ref_nmask=None,  # [ceil(total_ref_len/8)] uint8 N bitmask, or None
+    upto: str | None = None,  # five-stage profiler cut: "pattern" | "seed"
+    # | "vote" | None (full step) — see utils/profile.py
 ):
     """The fused forward step. All args are arrays except static ``cfg``.
 
@@ -1106,12 +1122,19 @@ def fused_map_step(
     """
     B = codes.shape[0]
     k = cfg.k
+    if upto == "pattern":
+        return collect_hits(
+            codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
+            maps, pref, cfg, ref_axis, n_ref, upto="pattern",
+        )
     fallback, shift, extracted, mv_n, capped, fk, fq, fok, rk, rq, rok, A_stream = (
         collect_hits(
             codes, lens, idx_keys, idx_vals, idx_positions, idx_buckets,
             maps, pref, cfg, ref_axis, n_ref,
         )
     )
+    if upto == "seed":
+        return fk, fq, fok, rk, rq, rok
 
     # ---- phase 4: voting ----
     bw = (lens.astype(jnp.float64) * cfg.bw_frac).astype(I64)
@@ -1142,6 +1165,8 @@ def fused_map_step(
         bw.astype(jnp.uint64), vt_thr.astype(jnp.int32), vt_rec.astype(jnp.int32),
         cfg.K, A_stream,
     )
+    if upto == "vote":
+        return vt
 
     # ---- phase 5: candidate construction (top-K + recovery substitution) ----
     K = cfg.K
@@ -1422,8 +1447,63 @@ class FusedMapper:
         return self._jit(jnp.asarray(codes), jnp.asarray(lens), **self.arrays)
 
     def fetch(self, dev: dict, B: int):
-        """Device outputs -> (meta [B, 3+14K] i32, ops u8) on host."""
+        """Device outputs -> (meta [B, 3+12K] i32, ops u8) on host."""
         if "out" in dev:
             return unfuse_out(np.asarray(dev["out"]), B, self.cfg.K,
                               2 * self.cfg.Lmax // 4)
         return np.asarray(dev["meta"])[:B], np.asarray(dev["ops"])
+
+    # ------------------------------------------------------------------
+    def staged_times(self, codes, lens) -> dict:
+        """Five-stage device profile (the reference's -DPROFILE split,
+        profile.h:6-28 / print_profile main.c:671): re-runs the fused step
+        cut at each phase boundary (upto=pattern/seed/vote/full) and
+        returns the MARGINAL seconds of the four mapping stages. Synced by
+        tiny checksum fetches (the only reliable blocking op on the axon
+        tunnel platform) with the fetch floor subtracted. Opt-in (verbose
+        >= 4): it re-executes the step 4x, like a profiling build."""
+        import time as _time
+
+        if not hasattr(self, "_staged_jits"):
+            cfg_ = self.cfg
+
+            def ck(out):
+                leaves = jax.tree_util.tree_leaves(out)
+                s = jnp.int32(0)
+                for x in leaves:
+                    if x.dtype == jnp.uint64:
+                        s += (x & jnp.uint64(0xFFFF)).astype(jnp.int32).sum()
+                    elif x.dtype == jnp.bool_:
+                        s += x.sum().astype(jnp.int32)
+                    else:
+                        s += x.astype(jnp.int32).sum()
+                return s
+
+            def mk(upto):
+                def f(codes, lens, **arrays):
+                    return ck(fused_map_step(
+                        codes, lens, **arrays, cfg=cfg_, upto=upto))
+                return jax.jit(f)
+
+            self._staged_jits = [
+                ("pattern", mk("pattern")), ("seed", mk("seed")),
+                ("vote", mk("vote")), ("align", mk(None)),
+            ]
+            self._floor_jit = jax.jit(lambda c: c[0, 0].astype(jnp.int32))
+
+        codes_d = jnp.asarray(np.asarray(codes, np.uint8))
+        lens_d = jnp.asarray(np.asarray(lens, np.int64))
+        np.asarray(self._floor_jit(codes_d))
+        t0 = _time.perf_counter()
+        np.asarray(self._floor_jit(codes_d))
+        floor = _time.perf_counter() - t0
+        out = {}
+        prev = 0.0
+        for name, f in self._staged_jits:
+            np.asarray(f(codes_d, lens_d, **self.arrays))  # compile/warm
+            t0 = _time.perf_counter()
+            np.asarray(f(codes_d, lens_d, **self.arrays))
+            dt = max(_time.perf_counter() - t0 - floor, 0.0)
+            out[name] = max(dt - prev, 0.0)
+            prev = dt
+        return out

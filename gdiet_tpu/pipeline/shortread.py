@@ -57,6 +57,7 @@ class ShortReadMapper:
         retry_hit_budget: int = 2048,
         retry_batch: int = 512,
         n_threads: int = 1,
+        profile_stages: bool = False,
     ):
         self.mi = index
         self.mo = mo
@@ -86,6 +87,9 @@ class ShortReadMapper:
         # host finish (kthread.c:54)
         self.n_threads = max(1, n_threads)
         self._pool = None
+        # verbose >= 4: re-run each batch cut at the phase boundaries to
+        # print the reference's five-stage profile at exit (profile.h:6-28)
+        self.profile_stages = profile_stages
 
     def _map_oracle(self, fn, items):
         if self.n_threads > 1 and len(items) > 1:
@@ -379,6 +383,12 @@ class ShortReadMapper:
         buf = b""
         from gdiet_tpu.utils.profile import PROFILE, Stage
 
+        if self.profile_stages and dev is not None:
+            st = self.fused.staged_times(codes[device_idx], lens[device_idx])
+            PROFILE.add(Stage.PATTERN_ALIGNMENT, int(st["pattern"] * 1e9))
+            PROFILE.add(Stage.SEEDING, int(st["seed"] * 1e9))
+            PROFILE.add(Stage.VOTING, int(st["vote"] * 1e9))
+            PROFILE.add(Stage.SEQUENCE_ALIGNMENT, int(st["align"] * 1e9))
         if dev is not None:
             if fetched is not None:  # producer thread already fetched
                 meta_np, ops_np = fetched
