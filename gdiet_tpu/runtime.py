@@ -204,7 +204,13 @@ def _run_sr_sam_fast(
     command users get the benchmark's throughput (one-path behavior of the
     reference's main.c:576-672). Budgets are the bench-tuned envelope scaled
     to the observed read length; out-of-envelope reads retry on the wider
-    tier, then the oracle — output is identical to the generic path."""
+    tier, then the oracle — output is identical to the generic path.
+
+    The length envelope is ADAPTIVE: Lmax starts from the first batch, and
+    when later batches accumulate enough length-overflow reads (which map
+    correctly but slowly through the scalar oracle) the stream re-tiers to
+    a wider compiled Lmax, so a FASTQ whose long reads appear late converges
+    to the same fallback rate as a pre-sorted one."""
     from gdiet_tpu.pipeline.shortread import ShortReadMapper
 
     mesh = None
@@ -234,35 +240,83 @@ def _run_sr_sam_fast(
         while B < len(first):
             B <<= 1
         B = min(B, batch_reads)
-        L0 = max(r.l_seq for r in first)
-        Lmax = min(304, -(-max(L0, 64) // 16) * 16)
-        scale = -(-Lmax // 160)  # bench budgets are tuned at Lmax=160
-        mapper = ShortReadMapper(
-            mi, mo, max_read_len=Lmax, seed_budget=32 * scale,
-            shift_seed_budget=16 * scale, hit_budget=64 * scale,
-            dp_frac=0.3125, mesh=mesh, n_threads=n_threads,
-        )
+        HARD_CAP = 304  # reads beyond this always take the oracle
 
+        def _round16(n: int) -> int:
+            return min(HARD_CAP, -(-max(n, 64) // 16) * 16)
+
+        def make_mapper(lmax: int) -> ShortReadMapper:
+            scale = -(-lmax // 160)  # bench budgets are tuned at Lmax=160
+            return ShortReadMapper(
+                mi, mo, max_read_len=lmax, seed_budget=32 * scale,
+                shift_seed_budget=16 * scale, hit_budget=64 * scale,
+                dp_frac=0.3125, mesh=mesh, n_threads=n_threads,
+                profile_stages=verbose >= 4,
+            )
+
+        Lmax = _round16(max(r.l_seq for r in first))
+        mapper = make_mapper(Lmax)
         counter = [0]
+        # re-tier bookkeeping: overflow reads SINCE the current tier was
+        # built; a handful of long reads is cheaper on the oracle than a
+        # recompile, a steady stream is not
+        tier = {"over": 0, "max_len": 0, "hit": False}
+        retier_at = max(32, B // 64)
+        pending: list = []
 
-        def batches():
+        def raw_batches():
             buf = first
             for rec in rdr:
                 if len(buf) == B:
-                    counter[0] += len(buf)
                     yield buf
                     buf = []
                 buf.append(rec)
-            counter[0] += len(buf)
             if len(buf) == B:
                 yield buf
             elif buf:
                 yield (buf + [buf[0]] * (B - len(buf)), len(buf))
 
+        src = raw_batches()
+
+        def gated():
+            """Pass batches through until the overflow budget trips; then
+            stash the triggering batch and end the stream so the caller can
+            rebuild the mapper at the widened Lmax and resume."""
+            while pending:
+                counter[0] += (pending[0][1] if isinstance(pending[0], tuple)
+                               else len(pending[0]))
+                yield pending.pop(0)
+            for b in src:
+                batch, n = b if isinstance(b, tuple) else (b, len(b))
+                if Lmax < HARD_CAP:
+                    cap = min(300, Lmax)
+                    longs = [r.l_seq for r in batch[:n]
+                             if cap < r.l_seq <= HARD_CAP]
+                    if longs:
+                        tier["over"] += len(longs)
+                        tier["max_len"] = max(tier["max_len"], max(longs))
+                        if tier["over"] >= retier_at:
+                            pending.append(b)
+                            tier["hit"] = True
+                            return
+                counter[0] += n
+                yield b
+
         # per-stage profile (DEVICE_FUSED/HOST_FINISH + oracle stages) is
         # recorded inside the mapper; total wall time is the Real time line
-        for blob in mapper.map_stream_sam(batches()):
-            bout.write(blob)
+        while True:
+            tier["hit"] = False
+            for blob in mapper.map_stream_sam(gated()):
+                bout.write(blob)
+            if not tier["hit"]:
+                break
+            new_lmax = _round16(tier["max_len"])
+            _log(verbose, t0,
+                 f"re-tier: Lmax {Lmax} -> {new_lmax} after {tier['over']} "
+                 f"length-overflow reads (oracle-mapped; output unchanged)")
+            Lmax = new_lmax
+            tier["over"], tier["max_len"] = 0, 0
+            mapper = make_mapper(Lmax)
         n_mapped = counter[0]
     if bout is not sys.stdout.buffer:
         bout.close()
