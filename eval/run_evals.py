@@ -97,19 +97,33 @@ def containment():
             for c in chunks:
                 f.write(f">{c.name}\n{c.seq}\n")
         B = 256
-        mapper = LongReadMapper(mi, mo, max_read_len=4096, seed_budget=512,
-                                shift_seed_budget=128, hit_budget=2048)
+        # envelope sized FOR 2 kb chunks (VERDICT r3 weak #6: the default
+        # Lmax-8192 LR envelope wasted 4x padding per chunk here): chunks
+        # are exactly 2000 bp, land in the (2048, 3072) DP bucket, and a
+        # 1%-divergence containment hit needs far fewer seed slots than an
+        # 8 kb HiFi read
+        mapper = LongReadMapper(mi, mo, max_read_len=2048, seed_budget=256,
+                                shift_seed_budget=64, hit_budget=1024)
+
+        def batches():
+            for s0 in range(0, len(chunks), B):
+                b = chunks[s0 : s0 + B]
+                yield b + [b[0]] * (B - len(b))
+
+        # steady-state timing: compile/warm on the first batch shape, then
+        # time mapping only (matches how the flagship bench rows time)
+        for _ in mapper.map_stream(iter([next(batches())])):
+            pass
         n_hit = 0
         t0 = time.perf_counter()
-        for s0 in range(0, len(chunks), B):
-            b = chunks[s0 : s0 + B]
-            b = b + [b[0]] * (B - len(b))
-            for res in mapper.map_stream(iter([b])):
-                n_hit += sum(1 for r in res[: len(chunks) - s0] if r)
+        for s0, res in zip(range(0, len(chunks), B),
+                           mapper.map_stream(batches())):
+            n_hit += sum(1 for r in res[: len(chunks) - s0] if r)
         search[tag] = {
             "chunks": len(chunks), "mapped": n_hit,
             "frac": round(n_hit / len(chunks), 4),
             "sec": round(time.perf_counter() - t0, 2),
+            "fallback_reads": mapper.stats["fallback_reads"],
         }
         log(f"search {tag}: {search[tag]}")
     return rows, search
@@ -262,22 +276,36 @@ def taxonomic():
                              dp_frac=0.375)
     counts = Counter()
     total = mapped = 0
-    t0 = time.perf_counter()
     B = 2048
     batches = []
     for s0 in range(0, len(reads), B):
         b = reads[s0 : s0 + B]
         batches.append((len(b), b + [b[0]] * (B - len(b))))
-    for (n_real, _), results in zip(
-        batches, mapper.map_stream(b for _, b in batches)
-    ):
-        for regs in results[:n_real]:
-            total += 1
-            pri = next((r for r in regs or [] if r.sam_pri), None)
-            if pri is not None:
-                mapped += 1
-                counts[mi.names[pri.rid]] += 1
+    # the profiling classifier only needs each read's primary RNAME: take
+    # the benched fused-step -> native-SAM path (a Metalign-style wrapper
+    # consumes GDiet's SAM the same way) and warm the compile first so the
+    # recorded rate is steady-state mapping, not XLA compilation
+    for _ in mapper.map_stream_sam(iter([batches[0][1]])):
+        pass
+    t0 = time.perf_counter()
+    blobs = list(mapper.map_stream_sam(b for _, b in batches))
     dt = time.perf_counter() - t0
+    for (n_real, _), blob in zip(batches, blobs):
+        seen = 0
+        last = None
+        for ln in blob.splitlines():
+            f = ln.split(b"\t", 4)
+            if f[0] != last:
+                seen += 1
+                last = f[0]
+            if seen > n_real:
+                break
+            if int(f[1]) & 0x900:  # secondary/supplementary
+                continue
+            total += 1
+            if f[2] != b"*":
+                mapped += 1
+                counts[f[2].decode()] += 1
     profile = {t: round(c / mapped, 4) for t, c in counts.most_common()}
     l1 = sum(abs(profile.get(t, 0.0) - truth.get(t, 0.0))
              for t in set(profile) | set(truth))
