@@ -127,12 +127,16 @@ class DietIndex:
         return self._device["cuckoo"]
 
     def device_cuckoo_kv(self):
-        """Merged-row cuckoo table: each bucket row holds (k0..k3, v0..v3)
-        so ONE 64-byte row gather per side serves both the key compare and
-        the value fetch — half the gather rows of the split-table layout
-        (TPU gathers cost per row; the fused step's lookups were the
-        dominant device term). Built host-side (no transient 2x HBM peak)
-        and cached. Returns (tbl_kv, c1, c2, n_buckets_per_side)."""
+        """Merged-row cuckoo table: each bucket holds (k0..k3, v0..v3) so
+        ONE row gather per side serves both the key compare and the value
+        fetch — half the gather rows of the split-table layout (TPU gathers
+        cost per row; the fused step's lookups were the dominant device
+        term). Shipped as [rows, 128] u64 — 16 buckets per 128-lane tile
+        row: TPU tiling pads the last dim to 128 lanes, so a [buckets, 8]
+        layout would burn 16x HBM (36 GB more at GRCh38 scale — the r04
+        3 Gbp OOM); the probe picks its bucket's 8 lanes in-register.
+        Built host-side (no transient 2x HBM peak) and cached.
+        Returns (tbl_kv [rows,128] u64, c1, c2, n_buckets_per_side)."""
         if "cuckoo_kv" not in self._device:
             from gdiet_tpu.index.cuckoo import build_cuckoo
 
@@ -141,7 +145,14 @@ class DietIndex:
                 [np.asarray(tk).reshape(-1, 4), np.asarray(tv).reshape(-1, 4)],
                 axis=1,
             ).ravel()
-            self._device["cuckoo_kv"] = (jnp.asarray(kv), c1, c2, lt)
+            pad = (-len(kv)) % 128
+            if pad:  # sentinel keys: EMPTY never equals a real query
+                kv = np.concatenate(
+                    [kv, np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)]
+                )
+            self._device["cuckoo_kv"] = (
+                jnp.asarray(kv.reshape(-1, 128)), c1, c2, lt
+            )
         return self._device["cuckoo_kv"]
 
     def cal_max_occ(self, f: float) -> int:

@@ -84,6 +84,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def safe_state_dtype(params: tuple) -> str:
+    """"int16" when the scoring provably fits the 16-bit lane state (every
+    real preset does — the lane values of the difference formulation are
+    bounded by a few gap costs, ksw2_extd2_sse.c:34), else "int32"."""
+    a, b, q, e, q2, e2 = params
+    return "int16" if 4 * (a + b + q + e + q2 + e2) < 32767 else "int32"
+
+
 def _row_gather(arr, idx, base=0, mask=None):
     """arr[row, idx[row] - base] for per-row indices clipped into the array,
     via masked reduction. ``base`` is the absolute lane id of column 0.
@@ -105,19 +113,20 @@ def _row_mask(shape, idx, base=0):
 
 def _dp_kernel(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
                u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, sc_s, *, T, TQ,
-               scoring, WB=None, w_max=0):
+               scoring, WB=None, w_max=0, sdt=jnp.int32):
     # Mosaic has no 64-bit ints; under x64 python literals in clip/where///
     # trace to i64 scalars whose i64->i32 converts fail to lower. All kernel
     # inputs are 32-bit, so tracing with x64 off keeps everything i32.
     with jax.enable_x64(False):
         _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
                         u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, sc_s,
-                        T=T, TQ=TQ, scoring=scoring, WB=WB, w_max=w_max)
+                        T=T, TQ=TQ, scoring=scoring, WB=WB, w_max=w_max,
+                        sdt=sdt)
 
 
 def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
                     u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, sc_s,
-                    *, T, TQ, scoring, WB=None, w_max=0):
+                    *, T, TQ, scoring, WB=None, w_max=0, sdt=jnp.int32):
     a, b, q, e, q2, e2, long_thres, long_diff = scoring
     NB = meta_ref.shape[0]
     U = dirs_ref.shape[0]  # wavefronts per grid step (unroll factor)
@@ -126,28 +135,31 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
     r0 = g * U
     G = pl.num_programs(1)
 
-    # all literals must be i32-typed: weak python ints inside jnp.where
-    # default to i64 under x64
-    qe_init = jnp.int32(-(q + e))
-    qe2_init = jnp.int32(-(q2 + e2))
-    c_mch = jnp.int32(a)
-    c_mis = jnp.int32(-b)
-    c_n = jnp.int32(-e2)
-    c_e = jnp.int32(-e)
-    c_e2 = jnp.int32(-e2)
-    c_ld = jnp.int32(long_diff)
-    i0, i1, i2, i3, i4 = (jnp.int32(n) for n in range(5))
-    b08, b10, b20, b40 = (jnp.int32(n) for n in (0x08, 0x10, 0x20, 0x40))
+    # all literals must be explicitly typed: weak python ints inside
+    # jnp.where default to i64 under x64. The LANE state runs in ``sdt``
+    # (int16 where the scoring provably fits: 2x VPU lanes per op — the
+    # roofline lever (2) in the module docstring); the per-row scalars
+    # (H0 / score) stay i32.
+    qe_init = sdt(-(q + e))
+    qe2_init = sdt(-(q2 + e2))
+    c_mch = sdt(a)
+    c_mis = sdt(-b)
+    c_n = sdt(-e2)
+    c_e = sdt(-e)
+    c_e2 = sdt(-e2)
+    c_ld = sdt(long_diff)
+    i0, i1, i2, i3, i4 = (sdt(n) for n in range(5))
+    b08, b10, b20, b40 = (sdt(n) for n in (0x08, 0x10, 0x20, 0x40))
 
     @pl.when(r0 == 0)
     def _init():
-        u_s[:, :] = jnp.full((NB, T), qe_init, i32)
-        v_s[:, :] = jnp.full((NB, T), qe_init, i32)
-        x_s[:, :] = jnp.full((NB, T), qe_init, i32)
-        y_s[:, :] = jnp.full((NB, T), qe_init, i32)
-        x2_s[:, :] = jnp.full((NB, T), qe2_init, i32)
-        y2_s[:, :] = jnp.full((NB, T), qe2_init, i32)
-        s_s[:, :] = jnp.zeros((NB, T), i32)
+        u_s[:, :] = jnp.full((NB, T), qe_init, sdt)
+        v_s[:, :] = jnp.full((NB, T), qe_init, sdt)
+        x_s[:, :] = jnp.full((NB, T), qe_init, sdt)
+        y_s[:, :] = jnp.full((NB, T), qe_init, sdt)
+        x2_s[:, :] = jnp.full((NB, T), qe2_init, sdt)
+        y2_s[:, :] = jnp.full((NB, T), qe2_init, sdt)
+        s_s[:, :] = jnp.zeros((NB, T), sdt)
         cols = jax.lax.broadcasted_iota(i32, (NB, 128), 1)
         sc = jnp.where((cols == _LST) | (cols == _LEN), jnp.int32(-1), jnp.int32(0))
         sc = jnp.where(cols == _SCORE, jnp.int32(NEG_INF), sc)
@@ -282,8 +294,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
         lt_in = (lt >= st0) & (lt <= en0)
         lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
-        v_lt = _row_gather(v2, lt, lo_al)
-        u_lt1 = _row_gather(u2, lt + 1, lo_al)
+        v_lt = _row_gather(v2, lt, lo_al).astype(i32)
+        u_lt1 = _row_gather(u2, lt + 1, lo_al).astype(i32)
         both = lt_in & lt1_in
         d0gt = v_lt > u_lt1
         H0_new = jnp.where(
@@ -296,7 +308,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         )
         first = r == 0
         # r == 0 implies lo_al == 0, so v2 lane 0 is a plain slice
-        H0 = jnp.where(live, jnp.where(first, v2[:, 0:1] - (q + e), H0_new), H0)
+        H0 = jnp.where(live, jnp.where(
+            first, v2[:, 0:1].astype(i32) - (q + e), H0_new), H0)
         lt = jnp.where(live, jnp.where(first, 0, lt_new), lt)
 
         hit_end = live & (r == qlen + tlen - 2) & (en0 == tlen - 1)
@@ -335,7 +348,7 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
 
 
 @partial(jax.jit, static_argnames=("params", "Lmax", "Lt", "band_budget",
-                                   "interpret", "unroll"))
+                                   "interpret", "unroll", "state_dtype"))
 def extd2_batch_pallas(
     query: jnp.ndarray,  # [N, Lmax] uint8 codes
     target: jnp.ndarray,  # [N, Lt|Lmax] uint8 codes
@@ -350,6 +363,11 @@ def extd2_batch_pallas(
     interpret: bool = False,
     unroll: int = DP_UNROLL,  # wavefronts per grid step (the long-read
     # buckets use 8: their cost is grid-step overhead, not lane math)
+    state_dtype: str = "int32",  # "int16": halve the lane-state width —
+    # the difference formulation bounds every lane value by a few gap
+    # costs (the reference's 8-bit SIMD lanes exploit the same bound,
+    # ksw2_extd2_sse.c:34), so int16 is exact for every real preset;
+    # per-row H0/score scalars stay int32. 2x VPU throughput + 2x NB.
 ):
     """Returns (score [N], dirs [N, R, Wd] u8, offs [N, R], off_ends [N, R])
     with Wd = the banded window width when band_budget is set, else T.
@@ -364,13 +382,18 @@ def extd2_batch_pallas(
     T = _round_up(Lt, 128)
     TQ = _round_up(Lmax, 128)
     R = _round_up(Lmax + Lt - 1, 8)
-    # candidates per grid program: as many as a ~3.5 MB VMEM state budget
-    # allows (8 int32 state arrays + unrolled dirs blocks + double-buffered
-    # inputs must fit 16 MB) — larger NB amortizes per-grid-step overhead
-    # VMEM per block-row: 8 state arrays x 4B x T (scratch) + the double-
-    # buffered query/target/dirs blocks; ~6 MB of scratch budget doubles NB
-    # for the mid-size long-read buckets (fewer, fatter grid steps)
-    NB = max(8, min(256, (12 << 19) // (32 * T) // 16 * 16))
+    sdt = {"int32": jnp.int32, "int16": jnp.int16}[state_dtype]
+    if sdt == jnp.int16:
+        # lane values are bounded by a few gap costs (see the docstring);
+        # a loose 4x safety bound must still fit int16
+        a_, b_, q_, e_, q2_, e2_ = params
+        assert 4 * (a_ + b_ + q_ + e_ + q2_ + e2_) < 32767, params
+    isz = jnp.dtype(sdt).itemsize
+    # candidates per grid program: as many as a ~6 MB VMEM scratch budget
+    # allows (7 lane-state arrays + unrolled dirs blocks + double-buffered
+    # inputs must fit 16 MB) — larger NB amortizes per-grid-step overhead;
+    # int16 state halves the per-lane bytes (7*isz + 4B slack per lane)
+    NB = max(8, min(256, (12 << 19) // ((7 * isz + 4) * T) // 16 * 16))
     Npad = _round_up(max(N, NB), NB)
     WB = (window_geometry(band_budget, T, unroll)
           if band_budget is not None else None)
@@ -406,7 +429,7 @@ def extd2_batch_pallas(
     with jax.enable_x64(False):  # index-map literals must trace as i32
         score, dirs = pl.pallas_call(
             partial(_dp_kernel, T=T, TQ=TQ, scoring=scoring, WB=WB,
-                    w_max=band_budget or 0),
+                    w_max=band_budget or 0, sdt=sdt),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((NB, 128), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
@@ -422,13 +445,13 @@ def extd2_batch_pallas(
                 jax.ShapeDtypeStruct((R, Npad, Wd), jnp.uint8),
             ],
             scratch_shapes=[
-                pltpu.VMEM((NB, T), jnp.int32),  # u
-                pltpu.VMEM((NB, T), jnp.int32),  # v
-                pltpu.VMEM((NB, T), jnp.int32),  # x
-                pltpu.VMEM((NB, T), jnp.int32),  # y
-                pltpu.VMEM((NB, T), jnp.int32),  # x2
-                pltpu.VMEM((NB, T), jnp.int32),  # y2
-                pltpu.VMEM((NB, T), jnp.int32),  # s
+                pltpu.VMEM((NB, T), sdt),  # u
+                pltpu.VMEM((NB, T), sdt),  # v
+                pltpu.VMEM((NB, T), sdt),  # x
+                pltpu.VMEM((NB, T), sdt),  # y
+                pltpu.VMEM((NB, T), sdt),  # x2
+                pltpu.VMEM((NB, T), sdt),  # y2
+                pltpu.VMEM((NB, T), sdt),  # s
                 pltpu.VMEM((NB, 128), jnp.int32),  # per-row scalars
             ],
             interpret=interpret,

@@ -769,26 +769,36 @@ def collect_hits(
         """
         if cfg.probe == "cuckoo":
             # bucketed table: 2 sides x NB buckets x 4 contiguous slots,
-            # keys and values MERGED per row (k0..3, v0..3) — ONE 64-byte
-            # row gather per side (TPU gathers cost per row, and these
-            # lookups are the fused step's dominant device term), the two
-            # sides independent — serial HBM depth 2 (device_cuckoo_kv).
+            # keys and values MERGED per bucket (k0..3, v0..3) — ONE row
+            # gather per side (TPU gathers cost per row, and these lookups
+            # are the fused step's dominant device term), the two sides
+            # independent — serial HBM depth 2. The table ships as
+            # [rows, 128] u64 = 16 buckets per tile row (a [buckets, 8]
+            # layout lane-pads 8 -> 128 and burns 16x HBM, device_cuckoo_kv)
+            # and the probe picks its bucket's 8 lanes in-register.
             NB = jnp.uint64(cfg.cuckoo_nb)
-            kvb = idx_keys.reshape(-1, 8)
             t1 = (q * jnp.uint64(cfg.cuckoo_c1)) >> jnp.uint64(32)
             b1 = ((t1 * NB) >> jnp.uint64(32)).astype(I64)
             t2 = (q * jnp.uint64(cfg.cuckoo_c2)) >> jnp.uint64(32)
             b2 = ((t2 * NB) >> jnp.uint64(32)).astype(I64) + cfg.cuckoo_nb
-            r1 = jnp.take(kvb, b1, axis=0)  # [..., 8]
-            r2 = jnp.take(kvb, b2, axis=0)
-            k1, v1 = r1[..., :4], r1[..., 4:]
-            k2, v2 = r2[..., :4], r2[..., 4:]
-            m1 = k1 == q[..., None]
-            m2 = k2 == q[..., None]
+            lanes = jnp.arange(128, dtype=I64)
+            is_key = (lanes & 7) < 4  # [128]
+
+            def side(b):
+                row = jnp.take(idx_keys, b >> 4, axis=0)  # [..., 128]
+                in_bkt = (lanes >> 3) == (b & 15)[..., None]
+                m = in_bkt & is_key & (row == q[..., None])
+                # the value of slot j sits 4 lanes above its key lane;
+                # rolled-in wrap lanes have is_key False, so never match
+                vrow = jnp.roll(row, -4, axis=-1)
+                return (jnp.where(m, vrow, jnp.uint64(0)).sum(axis=-1),
+                        m.any(axis=-1))
+
+            v1, f1 = side(b1)
+            v2, f2 = side(b2)
             # keys unique -> at most one slot matches across both sides
-            v = (jnp.where(m1, v1, jnp.uint64(0)).sum(axis=-1)
-                 + jnp.where(m2, v2, jnp.uint64(0)).sum(axis=-1))
-            found = m1.any(axis=-1) | m2.any(axis=-1)
+            v = v1 + v2
+            found = f1 | f2
             s = (v >> jnp.uint64(24)).astype(I64)
             c = (v & jnp.uint64(0xFFFFFF)).astype(I64)
             return jnp.where(found, s, 0), jnp.where(found, c, 0)

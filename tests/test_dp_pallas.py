@@ -140,6 +140,14 @@ def test_pallas_banded_window():
         interpret=True,
     )
     assert d_w.shape[2] < 1024, "window must be narrower than the lane range"
+    # int16 lane state must be bit-identical through the banded window too
+    s_h, d_h, o_h, e_h = extd2_batch_pallas(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens), jnp.asarray(band),
+        prm, LQ, tlens=jnp.asarray(tlens), Lt=LT, band_budget=100,
+        interpret=True, state_dtype="int16",
+    )
+    np.testing.assert_array_equal(np.asarray(s_w), np.asarray(s_h))
+    np.testing.assert_array_equal(np.asarray(d_w), np.asarray(d_h))
     s_x, d_x, o_x, e_x = extd2_batch(
         jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlens), jnp.asarray(band),
         jnp.asarray(np.array(prm, np.int32)), LQ,
@@ -170,3 +178,35 @@ def test_pallas_banded_window():
     for i in range(N):
         if int(s_x[i]) != -0x40000000:
             assert cig_w[i] == cig_x[i], f"case {i}"
+
+
+def test_pallas_int16_state():
+    """int16 lane state is exact: the difference formulation bounds every
+    lane value by a few gap costs (the reference's 8-bit SIMD lanes exploit
+    the same bound, ksw2_extd2_sse.c:34) — scores, dirs and window offsets
+    must be bit-identical to the int32 kernel on the SR bench scoring."""
+    prm = (2, 8, 12, 2, 24, 1)
+    rng = np.random.default_rng(23)
+    random.seed(23)
+    N = 16
+    Q = np.zeros((N, LMAX), np.uint8)
+    T = np.zeros((N, LMAX), np.uint8)
+    lens = np.zeros(N, np.int32)
+    band = np.zeros(N, np.int32)
+    for i in range(N):
+        L = random.randrange(8, LMAX)
+        q = rng.integers(0, 5 if i % 5 == 0 else 4, L).astype(np.uint8)
+        t = q.copy()
+        for _ in range(random.randrange(0, 5)):
+            t[random.randrange(L)] = random.randrange(4)
+        Q[i, :L], T[i, :L] = q, t
+        lens[i] = L
+        band[i] = random.choice([7, 21, LMAX])
+    outs = {}
+    for sd in ("int32", "int16"):
+        outs[sd] = [np.asarray(x) for x in extd2_batch_pallas(
+            jnp.asarray(Q), jnp.asarray(T), jnp.asarray(lens),
+            jnp.asarray(band), prm, LMAX, interpret=True, state_dtype=sd,
+        )]
+    for a, b in zip(outs["int32"], outs["int16"]):
+        np.testing.assert_array_equal(a, b)
