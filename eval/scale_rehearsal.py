@@ -384,10 +384,15 @@ def write_scale_md(r, out):
         "The mapping-time device arrays are the HBM-residency row above: "
         "the sequence is 2-bit packed on device (pack_ref_codes — denser "
         "than the reference's 4-bit index.c:350-357 pack) and the lookup is "
-        "a bucketed cuckoo table at ~1.2x key+val bytes (index/cuckoo.py). "
-        "At 3 Gbp that is ~0.78 GB seq + ~2 GB positions + ~4.7 GB cuckoo, "
-        "within one v5e chip's 16 GB HBM. Run this script with "
-        "--genome-mb 3000 for measured numbers.",
+        "a bucketed cuckoo table at ~1.2x key+val bytes (index/cuckoo.py), "
+        "shipped as [rows, 128] u64 tiles — a [buckets, 8] layout would "
+        "lane-pad 16x and overflow HBM at this scale (the fix behind the "
+        "measured run above). Reference mapping runs load their index from "
+        "disk per invocation (same command a user runs); ours keep the "
+        "index resident, which is the framework's serving model. Our build "
+        "is slower than the reference's at 3 Gbp (single-core host CSR "
+        "staging + device-sketch dispatch per 16.8 Mbp group); build is a "
+        "once-per-genome cost and is not the benched claim.",
         "",
         "## Host memory model (this benchmark VM)",
         "",
