@@ -49,6 +49,17 @@ lanes where the SR score envelope provably fits (doubles VPU lanes),
 comparison, the reference's 1-core AVX-512 kernel (ksw2_extd2_avx.c:72)
 reaches ~1-2 GCUPS on this recurrence; one TPU core at 5.1 GCUPS already
 exceeds it, and the SR pipeline amortizes DP under dp_frac anyway.
+
+Lever (2) status: ``state_dtype="int16"`` is implemented and bit-parity
+tested in interpreter mode (tests/test_dp_pallas.py), but the current
+Mosaic lowering blocks the hot path on real hardware: no int16
+reductions, no int16 lane rotates (both worked around here by casting
+through int32), and i1 mask relayout (8,128)->(16,128) errors when
+(8,128)-layout comparisons (lane iota vs row scalars) feed (16,128)
+int16 selects. A full flip needs the lane-index comparisons rebuilt in
+int16 (safe for T <= 8192 with clamped row scalars) — and whether Mosaic
+executes packed-i16 ALU ops at 2x or emulates them (a potential LOSS) is
+unverified, so the default stays int32.
 """
 
 from __future__ import annotations
@@ -94,13 +105,16 @@ def safe_state_dtype(params: tuple) -> str:
 
 def _row_gather(arr, idx, base=0, mask=None):
     """arr[row, idx[row] - base] for per-row indices clipped into the array,
-    via masked reduction. ``base`` is the absolute lane id of column 0.
-    Pass a precomputed ``mask`` (from _row_mask) when several arrays are
-    gathered at the same index."""
+    via masked reduction, returned as int32. ``base`` is the absolute lane
+    id of column 0. Pass a precomputed ``mask`` (from _row_mask) when
+    several arrays are gathered at the same index. The reduction always
+    runs in int32: Mosaic has no int16 reductions, and the consumers
+    (per-row H0 tracking) are int32 anyway."""
     if mask is None:
         mask = _row_mask(arr.shape, idx, base)
     return jnp.sum(
-        jnp.where(mask, arr, 0), axis=1, keepdims=True, dtype=arr.dtype
+        jnp.where(mask, arr, 0).astype(jnp.int32), axis=1, keepdims=True,
+        dtype=jnp.int32,
     )
 
 
@@ -242,9 +256,16 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         s = jnp.where(in_s, sval, s)
 
         in_al = (lanes >= st) & (lanes <= en) & live
-        x_prev = pltpu.roll(x, 1, axis=1)
-        v_prev = pltpu.roll(v, 1, axis=1)
-        x2_prev = pltpu.roll(x2, 1, axis=1)
+        # Mosaic's lane rotate has no int16 lowering: roll through int32
+        # (the cast pair costs 2 W-wide ops per roll vs ~80 in the body)
+        if sdt == jnp.int32:
+            _roll1 = lambda A: pltpu.roll(A, 1, axis=1)
+        else:
+            _roll1 = lambda A: pltpu.roll(
+                A.astype(i32), 1, axis=1).astype(sdt)
+        x_prev = _roll1(x)
+        v_prev = _roll1(v)
+        x2_prev = _roll1(x2)
         at_st = lanes == st
         # at lane st the rolled value IS x[st-1] etc.; override only when
         # st-1 was outside the previous wavefront's footprint (or st == 0,
@@ -294,8 +315,8 @@ def _dp_kernel_body(meta_ref, q_ref, t_ref, score_ref, dirs_ref,
         # approximate H0 tracking (ksw2_extd2_sse.c:367-383)
         lt_in = (lt >= st0) & (lt <= en0)
         lt1_in = (lt + 1 >= st0) & (lt + 1 <= en0)
-        v_lt = _row_gather(v2, lt, lo_al).astype(i32)
-        u_lt1 = _row_gather(u2, lt + 1, lo_al).astype(i32)
+        v_lt = _row_gather(v2, lt, lo_al)
+        u_lt1 = _row_gather(u2, lt + 1, lo_al)
         both = lt_in & lt1_in
         d0gt = v_lt > u_lt1
         H0_new = jnp.where(
