@@ -31,7 +31,7 @@ import numpy as np
 
 from gdiet_tpu import pattern as pat
 from gdiet_tpu.config import IndexOptions
-from gdiet_tpu.ops.sketch import sketch_emit
+from gdiet_tpu.ops.sketch import sketch_emit_build
 from gdiet_tpu.oracle.sketch import seq_to_code
 
 CHUNK = 1 << 14  # diet positions per row
@@ -305,47 +305,60 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     l > w+k-1, sketch.c:1760) and is processed as its own single-row call;
     interior rows use the non-strict rule because their artificial ends sit
     inside the next row's ownership window.
+
+    The tunnel link is the build bottleneck, so the loop is shaped around
+    bytes-on-the-wire: H2D ships only the diet codes + per-row scalars
+    (real coordinates are re-derived on device from the pattern —
+    sketch_emit_build), D2H is one fused (xs|ys) tensor sliced to ~1.5x the
+    expected 2/(w+1) minimizer density, and each group's fetch is deferred
+    until the NEXT group has been dispatched (double buffering) so host
+    staging and device compute overlap the transfers. Rows that overflow
+    the sliced budget (pathological duplicate storms) rerun full-width.
     """
     gm = pat.gather_map(len(codes), pattern, 0)
     D = len(gm)
     if D == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    ones_loc = pat.ones_locations(pattern)
+    plen = len(pattern)
     ov = 2 * w + k  # context needed for exact emission at interiors
     width = CHUNK + 2 * ov
     starts = list(range(0, D, CHUNK))
     keys_out, ys_out = [], []
 
-    # fetch budget: the tunnel D2H link is the build bottleneck, so slice
-    # the emission arrays device-side to ~2x the expected minimizer count
-    # (2/(w+1) density) instead of shipping the full row width; rows that
-    # overflow the budget (pathological duplicate storms) rerun full-width
-    max_out = int(min(width, 4 * (CHUNK + 2 * ov) // (w + 1) + 64))
+    max_out = int(min(width, 3 * width // (w + 1) + 64))
 
-    def run(rows, flush_ge, out_budget=None):
-        """rows: list of (start, end); one device call."""
+    def dispatch(rows, flush_ge, out_budget=None):
+        """rows: list of (start, end); one async device call."""
         G = len(rows)
         budget = out_budget or max_out
         dc = np.full((G, width), 255, np.uint8)
-        rp = np.zeros((G, width), np.int64)
         ns = np.zeros((G,), np.int64)
+        los = np.zeros((G,), np.int64)
         bounds = []
         for g, (st, en) in enumerate(rows):
             lo, hi = max(0, st - ov), min(D, en + ov)
             n = hi - lo
             dc[g, :n] = codes[gm[lo:hi]]
-            rp[g, :n] = gm[lo:hi]
             ns[g] = n
+            los[g] = lo
             bounds.append((lo, hi, st, en))
-        xs, ys, _, cnt = sketch_emit(
-            jnp.asarray(dc), jnp.asarray(ns), jnp.asarray(rp),
+        xy, cnt = sketch_emit_build(
+            jnp.asarray(dc), jnp.asarray(ns), jnp.asarray(los),
             jnp.full((G,), rid, np.int64), k, w, budget,
-            final_flush_ge=flush_ge,
+            ones_loc, plen, final_flush_ge=flush_ge,
         )
+        return (rows, flush_ge, budget, bounds, xy, cnt)
+
+    def collect(pending):
+        rows, flush_ge, budget, bounds, xy, cnt = pending
         cnt = np.asarray(cnt)
         if budget < width and int(cnt.max(initial=0)) > budget:
-            run(rows, flush_ge, out_budget=width)  # rare overflow: full width
+            # rare overflow: rerun full-width, synchronously
+            collect(dispatch(rows, flush_ge, out_budget=width))
             return
-        xs, ys = np.asarray(xs), np.asarray(ys)
+        xy = np.asarray(xy)
+        xs, ys = xy[:, :budget], xy[:, budget:]
         for g, (lo, hi, st, en) in enumerate(bounds):
             m = int(cnt[g])
             xg, yg = xs[g, :m], ys[g, :m]
@@ -357,12 +370,19 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
             ys_out.append(yg[own].astype(np.uint64))
 
     interior = [(st, min(st + CHUNK, D)) for st in starts[:-1]]
+    pending = None
     for i in range(0, len(interior), GROUP):
         grp = interior[i : i + GROUP]
         if len(grp) < GROUP:
             grp = grp + [(D, D)] * (GROUP - len(grp))  # pad to one shape
-        run(grp, flush_ge=True)
-    run([(starts[-1], D)], flush_ge=False)
+        nxt = dispatch(grp, flush_ge=True)
+        if pending is not None:
+            collect(pending)
+        pending = nxt
+    tail = dispatch([(starts[-1], D)], flush_ge=False)
+    if pending is not None:
+        collect(pending)
+    collect(tail)
     return np.concatenate(keys_out), np.concatenate(ys_out)
 
 

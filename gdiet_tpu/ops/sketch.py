@@ -222,6 +222,51 @@ def sketch_emit(
     Returns (xs, ys, valid_mask, counts) with counts = total emitted seeds
     (uncapped); entries beyond counts (or max_out) are invalid.
     """
+    return _emit_core(
+        diet_codes, diet_len, real_pos, rid, k, w, max_out, final_flush_ge
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "w", "max_out", "ones_loc", "plen", "final_flush_ge"),
+)
+def sketch_emit_build(
+    diet_codes: jnp.ndarray,  # [B, D] uint8
+    diet_len: jnp.ndarray,  # [B] int64
+    lo: jnp.ndarray,  # [B] int64 diet offset of column 0 in the sequence
+    rid: jnp.ndarray,  # [B] int64
+    k: int,
+    w: int,
+    max_out: int,
+    ones_loc: tuple[int, ...],  # pattern '1' offsets (pattern.ones_locations)
+    plen: int,  # pattern period
+    final_flush_ge: bool = True,
+):
+    """Index-build variant of sketch_emit, tuned for the tunnel link:
+
+    - real coordinates are derived ON DEVICE from the diet pattern
+      (real = (j // ones) * plen + ones_loc[j % ones], sketch.c:20-23)
+      instead of shipping a [B, D] int64 gather map — that array was 8x the
+      bytes of the codes themselves and dominated build H2D time;
+    - xs and ys come back fused in ONE [B, 2*max_out] u64 tensor so the
+      host pays a single D2H fetch per group.
+
+    Returns (xy, counts): xy[:, :max_out] = xs, xy[:, max_out:] = ys.
+    """
+    B, D = diet_codes.shape
+    j = lo.astype(jnp.int64)[:, None] + jnp.arange(D, dtype=jnp.int64)[None, :]
+    loc = jnp.asarray(ones_loc, dtype=jnp.int64)
+    ones = len(ones_loc)
+    real_pos = (j // ones) * jnp.int64(plen) + loc[j % ones]
+    xs, ys, _, nvalid = _emit_core(
+        diet_codes, diet_len, real_pos, rid, k, w, max_out, final_flush_ge
+    )
+    return jnp.concatenate([xs, ys], axis=1), nvalid
+
+
+def _emit_core(diet_codes, diet_len, real_pos, rid, k, w, max_out,
+               final_flush_ge):
     B, D = diet_codes.shape
     idx = jnp.arange(D, dtype=jnp.int64)[None, :]
     dlen = diet_len.astype(jnp.int64)[:, None]
