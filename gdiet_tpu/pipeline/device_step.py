@@ -450,7 +450,7 @@ def _backtrack_device(dirs, dp_lens, band, Lmax: int, tlens=None, Lt=None,
 
 
 def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
-                        band_budget=None, unroll=None):
+                        band_budget=None, unroll=None, fold=False):
     """Antidiagonal-synchronous device backtrack.
 
     Iterates r = R-1 .. 0; each row's walker acts exactly when it sits on
@@ -463,15 +463,45 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
     Ops stream out in back-to-front order with 255 holes on idle iterations;
     the RLE consumers skip holes (ops/dp.py cigars_from_ops, srf_rle).
     Returns (ops [N, R] u8, fin_i [N], fin_j [N]).
+
+    fold=True consumes the folded dirs layout of extd2_batch_pallas
+    (fold=True): candidate n = c*Nrows + k reads wavefront r from slice
+    c*H + r at lane + FOLD_GAP for second-half wavefronts (r >= H).
     """
-    from gdiet_tpu.ops.dp_pallas import DP_UNROLL, _round_up, window_geometry
+    from gdiet_tpu.ops.dp_pallas import (DP_UNROLL, FOLD_GAP, _round_up,
+                                         fold_geometry, window_geometry)
 
     U_ = unroll or DP_UNROLL
-    N, R, Wd = dirs.shape
-    T = _round_up(Lt if Lt is not None else Lmax, 128)
-    WB = (window_geometry(band_budget, T, U_)
-          if band_budget is not None else None)
     i32 = jnp.int32
+    fold_H = 0
+    if fold:
+        H, Tf, T = fold_geometry(Lmax, Lt, U_)
+        fold_H = H
+        Nrows = dirs.shape[1]
+        C = dirs.shape[0] // H - 1
+        N = C * Nrows
+        Nreal = dp_lens.shape[0]
+        # per-candidate wavefront stream E[c, rr] = dirs[c*H + rr], already
+        # in the [R, N, Wd] orientation the scan consumes
+        idx = jnp.arange(C, dtype=i32)[:, None] * H + jnp.arange(
+            2 * H, dtype=i32)[None, :]
+        dirs = jnp.take(dirs, idx.reshape(-1), axis=0).reshape(
+            C, 2 * H, Nrows, Tf).transpose(1, 0, 2, 3).reshape(
+            2 * H, N, Tf)
+        R, Wd = 2 * H, Tf
+        WB = None
+        pad = N - Nreal
+        dp_lens = jnp.concatenate(
+            [dp_lens.astype(i32), jnp.zeros(pad, i32)])
+        band = jnp.concatenate([band.astype(i32), jnp.ones(pad, i32)])
+        if tlens is not None:
+            tlens = jnp.concatenate(
+                [tlens.astype(i32), jnp.zeros(pad, i32)])
+    else:
+        N, R, Wd = dirs.shape
+        T = _round_up(Lt if Lt is not None else Lmax, 128)
+        WB = (window_geometry(band_budget, T, U_)
+              if band_budget is not None else None)
     lens = dp_lens.astype(i32)
     tl = lens if tlens is None else tlens.astype(i32)
     w = band.astype(i32)
@@ -497,6 +527,10 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
             lo_raw = ((r0 - jnp.int32(band_budget) + 1) >> 1) - 16
             lo_al = jnp.clip(lo_raw, 0, T - WB) // 128 * 128
             col = jnp.clip(i - lo_al, 0, Wd - 1)
+        elif fold:  # second-half wavefronts live at GAP-shifted lanes
+            col = jnp.clip(
+                i + jnp.where(r >= fold_H, i32(FOLD_GAP), i32(0)),
+                0, Wd - 1)
         else:
             col = jnp.clip(i, 0, Wd - 1)
         tmp = (dslice.astype(i32) * (col[:, None] == wcols)).sum(
@@ -535,7 +569,7 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
 
     Rpad = -(-R // BT_U) * BT_U
     pad = Rpad - R
-    dirs_rev = jnp.swapaxes(dirs, 0, 1)[::-1]
+    dirs_rev = (dirs if fold else jnp.swapaxes(dirs, 0, 1))[::-1]
     if pad:  # prepend dead antidiagonals (r >= R never matches any row)
         dirs_rev = jnp.concatenate(
             [jnp.zeros((pad,) + dirs_rev.shape[1:], dirs_rev.dtype), dirs_rev]
@@ -545,7 +579,10 @@ def _backtrack_antidiag(dirs, dp_lens, band, Lmax, tlens=None, Lt=None,
     xs = (dirs_rev.reshape(Rpad // BT_U, BT_U, N, Wd),
           rvals.reshape(Rpad // BT_U, BT_U))
     (fin_i, fin_j, _, _), ops = jax.lax.scan(step, init, xs)
-    return ops.reshape(Rpad, N).T, fin_i, fin_j
+    ops = ops.reshape(Rpad, N).T
+    if fold:  # drop the internal row padding
+        ops, fin_i, fin_j = ops[:Nreal], fin_i[:Nreal], fin_j[:Nreal]
+    return ops, fin_i, fin_j
 
 
 # packed-output field order (all cast to int32 in one [B, F] tensor).
