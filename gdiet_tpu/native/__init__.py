@@ -118,6 +118,11 @@ def _build() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.sdust_flags_batch.restype = None
+    lib.sdust_flags_batch.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.pe_finish_batch.restype = ctypes.c_int64
     lib.pe_finish_batch.argtypes = (
         [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
@@ -208,6 +213,26 @@ def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> bool:
         len(keys), key_bits, val_bits,
     )
     return True
+
+
+def sdust_flags(seqs: list[str], thres: int, W: int = 64) -> np.ndarray:
+    """Per-read SDUST presence flags: 1 iff the read has any masked
+    interval at ``thres`` (so -T routing must take the exact host path),
+    else 0 — the read's seed stream is provably unaffected by masking
+    (map.c:45-72). Returns all-ones when the native library is absent
+    (conservative: everything falls back)."""
+    n = len(seqs)
+    out = np.ones(n, np.uint8)
+    if lib is None or n == 0:
+        return out
+    blob = "".join(seqs).encode()
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    lib.sdust_flags_batch(
+        blob, _ptr(offsets, ctypes.c_int64), n, thres, W,
+        _ptr(out, ctypes.c_uint8),
+    )
+    return out
 
 
 def encode_batch(seqs: list[str], lmax: int) -> tuple[np.ndarray, np.ndarray]:

@@ -1377,6 +1377,100 @@ void radix_sort_kv(uint64_t *k, uint64_t *v, uint64_t *tk, uint64_t *tv,
 }
 
 /* ------------------------------------------------------------------ */
+/* Per-read symmetric-DUST presence flags (C port of ops/sdust.py
+ * sdust_core, the reference's sdust_core sdust.c:66-176, as used by the
+ * query hook map.c:45-72 with window W=64). flags[i] = 1 iff read i has
+ * ANY masked interval at threshold T — i.e. mm_dust_minier could drop a
+ * minimizer, so the read must take the exact host path; flag 0 reads are
+ * provably unaffected by -T and stay on the device path. Early-exits at
+ * the first saved region. */
+void sdust_flags_batch(const char *seqs, const int64_t *offsets, int64_t n,
+                       int64_t T, int64_t W, uint8_t *flags)
+{
+    enum { WLEN = 3, WTOT = 64, WMSK = 63, WCAP = 256, PCAP = 1024 };
+    typedef struct { int64_t start, finish, r, l; } perf_t;
+    perf_t P[PCAP];
+    int64_t w[WCAP];
+    if (W > WCAP - 2) W = WCAP - 2;
+    for (int64_t ri = 0; ri < n; ri++) {
+        const char *s = seqs + offsets[ri];
+        int64_t l_seq = offsets[ri + 1] - offsets[ri];
+        int64_t cv[WTOT] = {0}, cw[WTOT] = {0};
+        int64_t rv = 0, rw = 0, L = 0, np = 0;
+        int64_t wf = 0, wn = 0; /* deque front index / length */
+        int64_t l = 0, t = 0;
+        int any = 0;
+        for (int64_t i = 0; i <= l_seq && !any; i++) {
+            int b = i < l_seq ? seq_nt4_table[(uint8_t)s[i]] : 4;
+            if (b < 4) {
+                l++;
+                t = ((t << 2) | b) & WMSK;
+                if (l < WLEN) continue;
+                int64_t start = (l - W > 0 ? l - W : 0) + (i + 1 - l);
+                /* save_masked_regions: a perfect interval fell behind the
+                 * window start -> a region is emitted; that is all the
+                 * flag needs */
+                if (np && P[np - 1].start < start) { any = 1; break; }
+                /* shift_window */
+                if (wn >= W - WLEN + 1) {
+                    int64_t s0 = w[wf]; wf = (wf + 1) % WCAP; wn--;
+                    cw[s0]--; rw -= cw[s0];
+                    if (L > wn) { L--; cv[s0]--; rv -= cv[s0]; }
+                }
+                w[(wf + wn) % WCAP] = t; wn++;
+                L++;
+                rw += cw[t]; cw[t]++;
+                rv += cv[t]; cv[t]++;
+                if (cv[t] * 10 > (T << 1)) {
+                    for (;;) {
+                        int64_t s0 = w[(wf + wn - L) % WCAP];
+                        cv[s0]--; rv -= cv[s0]; L--;
+                        if (s0 == t) break;
+                    }
+                }
+                if (rw * 10 > L * T) {
+                    /* find_perfect */
+                    int64_t c[WTOT];
+                    memcpy(c, cv, sizeof(c));
+                    int64_t r = rv, max_r = 0, max_l = 0;
+                    for (int64_t ii = wn - L - 1; ii >= 0; ii--) {
+                        int64_t ti = w[(wf + ii) % WCAP];
+                        r += c[ti]; c[ti]++;
+                        int64_t new_r = r, new_l = wn - ii - 1;
+                        if (new_r * 10 > T * new_l) {
+                            int64_t j = 0;
+                            while (j < np && P[j].start >= ii + start) {
+                                if (max_r == 0 ||
+                                    P[j].r * max_l > max_r * P[j].l) {
+                                    max_r = P[j].r; max_l = P[j].l;
+                                }
+                                j++;
+                            }
+                            if (max_r == 0 || new_r * max_l >= max_r * new_l) {
+                                max_r = new_r; max_l = new_l;
+                                if (np >= PCAP) { any = 1; break; }
+                                memmove(P + j + 1, P + j,
+                                        (size_t)(np - j) * sizeof(*P));
+                                P[j].start = ii + start;
+                                P[j].finish = wn + (WLEN - 1) + start;
+                                P[j].r = new_r;
+                                P[j].l = new_l;
+                                np++;
+                            }
+                        }
+                    }
+                }
+            } else {
+                if (np) { any = 1; break; } /* flush emits pending regions */
+                l = 0; t = 0;
+            }
+        }
+        if (np) any = 1; /* end-of-read flush */
+        flags[ri] = (uint8_t)any;
+    }
+}
+
+/* ------------------------------------------------------------------ */
 /* Sequential bucketed-cuckoo insertion (index/cuckoo.py layout: 2 sides
  * x NB buckets x 4 slots). Each insert probes its bucket for a free
  * slot, else evicts a rotating victim and continues on the other side

@@ -216,9 +216,14 @@ class ShortReadMapper:
             # oracle (the reference forces 1 thread, main.c:290)
             host_only[:] = True
         if self.mo.sdust_thres > 0:
-            # SDUST masking is host-side (ops/sdust.py); route through the
-            # exact oracle rather than approximating on device
-            host_only[:] = True
+            # -T routing is PER READ (map.c:45-72): a fast C SDUST pass
+            # flags reads with any masked interval — only those can have
+            # minimizers dropped by mm_dust_minier, so only those take the
+            # exact host path; clean reads (the vast majority on real
+            # data) stay on the device fast path with byte parity
+            host_only |= native.sdust_flags(
+                [r.seq for r in reads], self.mo.sdust_thres
+            ).astype(bool)
         device_idx = np.where(~host_only)[0]
         dev = None
         if len(device_idx):
