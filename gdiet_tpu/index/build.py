@@ -315,8 +315,8 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     staging and device compute overlap the transfers. Rows that overflow
     the sliced budget (pathological duplicate storms) rerun full-width.
     """
-    gm = pat.gather_map(len(codes), pattern, 0)
-    D = len(gm)
+    dcodes = pat.diet_codes(codes, pattern, 0)
+    D = len(dcodes)
     if D == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     ones_loc = pat.ones_locations(pattern)
@@ -326,7 +326,10 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     starts = list(range(0, D, CHUNK))
     keys_out, ys_out = [], []
 
-    max_out = int(min(width, 3 * width // (w + 1) + 64))
+    # ~2x the expected 2/(w+1) minimizer density: overflows (which rerun
+    # full-width AND pay a one-off full-width compile) should stay in
+    # duplicate-storm territory, not merely repetitive sequence
+    max_out = int(min(width, 4 * width // (w + 1) + 64))
 
     def dispatch(rows, flush_ge, out_budget=None):
         """rows: list of (start, end); one async device call."""
@@ -338,11 +341,13 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
         bounds = []
         for g, (st, en) in enumerate(rows):
             lo, hi = max(0, st - ov), min(D, en + ov)
-            n = hi - lo
-            dc[g, :n] = codes[gm[lo:hi]]
-            ns[g] = n
-            los[g] = lo
             bounds.append((lo, hi, st, en))
+            if st == en:  # pure padding row: emit nothing (no overflow risk)
+                continue
+            n = hi - lo
+            dc[g, :n] = dcodes[lo:hi]  # contiguous: the diet gather happened
+            ns[g] = n                  # once per sequence (pat.diet_codes)
+            los[g] = lo
         xy, cnt = sketch_emit_build(
             jnp.asarray(dc), jnp.asarray(ns), jnp.asarray(los),
             jnp.full((G,), rid, np.int64), k, w, budget,
@@ -363,8 +368,9 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
             m = int(cnt[g])
             xg, yg = xs[g, :m], ys[g, :m]
             p_real = (yg & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
-            # gm is strictly increasing, so real -> diet via searchsorted
-            p_diet = lo + np.searchsorted(gm[lo:hi], p_real.astype(np.int64))
+            # real -> diet in closed form (pattern periodicity): no
+            # searchsorted, no materialized gather map
+            p_diet = pat.diet_location(p_real.astype(np.int64), pattern, 0)
             own = (p_diet >= st) & (p_diet < en)
             keys_out.append((xg[own] >> np.uint64(8)).astype(np.uint64))
             ys_out.append(yg[own].astype(np.uint64))

@@ -866,8 +866,10 @@ def _extd2_fold(query, target, lens, band, scoring, Lmax, tlens, Lt,
     H, T, Tn = fold_geometry(Lmax, Lt, U)
     TQ = _round_up(Lmax, 128)
     isz = jnp.dtype(sdt).itemsize
-    # VMEM budget as the unfolded kernel, +1 lane array for the mixed target
-    NB = max(8, min(256, (12 << 19) // ((7 * isz + 8) * T) // 16 * 16))
+    # VMEM budget: tighter than the unfolded kernel (the mixed-target lane
+    # array + the dual-layout query block push NB=256 ~3 MB past the 16 MB
+    # scoped-vmem limit at T=256; 192 leaves ~2 MB headroom, measured)
+    NB = max(8, min(192, (10 << 19) // ((7 * isz + 8) * T) // 16 * 16))
     # rows/passes split: ~FOLD_PASSES candidates per row bounds the drain-
     # pass overhead at ~1/FOLD_PASSES while keeping rows a multiple of NB
     Nrows = _round_up(max(1, -(-N // FOLD_PASSES)), NB)

@@ -248,7 +248,10 @@ def sketch_emit_build(
     - real coordinates are derived ON DEVICE from the diet pattern
       (real = (j // ones) * plen + ones_loc[j % ones], sketch.c:20-23)
       instead of shipping a [B, D] int64 gather map — that array was 8x the
-      bytes of the codes themselves and dominated build H2D time;
+      bytes of the codes themselves and dominated build H2D time. NOTE the
+      derivation assumes pattern shift == 0 (the reference formula adds
+      '+ shift'): index builds always sketch at shift 0 (index.c:370); a
+      caller with a nonzero shift must add it to the returned positions;
     - xs and ys come back fused in ONE [B, 2*max_out] u64 tensor so the
       host pays a single D2H fetch per group.
 

@@ -48,6 +48,38 @@ def real_location(i: int | np.ndarray, pattern: str, shift: int = 0):
     return (np.asarray(i) // ones) * w + loc[np.asarray(i) % ones] + shift
 
 
+def diet_location(p_real, pattern: str, shift: int = 0):
+    """Real coordinate of a KEPT base -> diet coordinate (the closed-form
+    inverse of real_location: no searchsorted over a materialized map).
+    rank[o] = number of ones strictly before offset o within the pattern."""
+    w = len(pattern)
+    ones = n_ones(pattern)
+    rank = np.zeros(w, np.int64)
+    c = 0
+    for o, ch in enumerate(pattern):
+        rank[o] = c
+        if ch == "1":
+            c += 1
+    p = np.asarray(p_real, dtype=np.int64) - shift
+    return (p // w) * ones + rank[p % w]
+
+
+def diet_codes(codes: np.ndarray, pattern: str, shift: int = 0) -> np.ndarray:
+    """The whole sparsified sequence as one array: codes[gather_map(...)]
+    computed by periodic reshape instead of a fancy-index gather (and
+    without materializing the int64 map — 8 bytes/position, 12 GB at
+    GRCh38 scale)."""
+    if shift:
+        codes = codes[shift:]
+    w = len(pattern)
+    loc = list(ones_locations(pattern))
+    nper = len(codes) // w
+    head = codes[: nper * w].reshape(nper, w)[:, loc].reshape(-1)
+    rem = codes[nper * w :]
+    tail = rem[[o for o in loc if o < len(rem)]]
+    return np.concatenate([head, tail]) if len(tail) else head
+
+
 def gather_map(length: int, pattern: str, shift: int = 0) -> np.ndarray:
     """Index map of shape [diet_length]: kept real positions, ascending.
 
