@@ -1309,12 +1309,23 @@ def fused_map_step(
     tb2 = jnp.take(tbuf.reshape(N, cfg.Lmax), sel, axis=0)
     len2 = jnp.take(dp_lens, sel)
     band2 = jnp.take(bandN, sel)
+    use_fold = False
     if cfg.dp_impl == "pallas":
-        from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
+        from gdiet_tpu.ops.dp_pallas import (_round_up, extd2_batch_pallas,
+                                             window_geometry)
 
+        # fold whenever the banded lane window cannot engage (the SR shape:
+        # band >= read length): ~2x counted cells/step and half the dirs HBM
+        # (GDIET_DP_FOLD=0 pins the unfolded kernel for A/B sweeps)
+        import os as _os
+
+        use_fold = (
+            _os.environ.get("GDIET_DP_FOLD", "1") != "0"
+            and window_geometry(cfg.bw_max, _round_up(cfg.Lmax, 128)) is None
+        )
         score2, dirs, offs, off_ends = extd2_batch_pallas(
             qb2, tb2, len2, band2, cfg.params, cfg.Lmax,
-            band_budget=cfg.bw_max,
+            band_budget=None if use_fold else cfg.bw_max, fold=use_fold,
         )
     else:
         params = jnp.asarray(np.array(cfg.params, np.int32))
@@ -1335,7 +1346,9 @@ def fused_map_step(
         # host is ~100x smaller than dirs (which never leaves HBM)
         ops2, fin_i2, fin_j2 = _backtrack_antidiag(
             dirs, len2, band2, cfg.Lmax,
-            band_budget=cfg.bw_max if cfg.dp_impl == "pallas" else None,
+            band_budget=(cfg.bw_max if cfg.dp_impl == "pallas"
+                         and not use_fold else None),
+            fold=use_fold,
         )
         fin_i = jnp.where(need, jnp.take(fin_i2, rank_c), 0)
         fin_j = jnp.where(need, jnp.take(fin_j2, rank_c), 0)

@@ -55,12 +55,25 @@ class Profiler:
         with self._lock:
             self.ns[s] += ns
 
+    # the -v 4 five-stage split is a RE-RUN ESTIMATOR: each batch is
+    # re-executed cut at the phase boundaries (FusedMapper.staged_times),
+    # matching the reference's -DPROFILE intent but NOT valid as in-run
+    # attribution when the lookahead pipeline overlaps stages
+    _FIVE_STAGE = (Stage.PATTERN_ALIGNMENT, Stage.SEEDING, Stage.VOTING,
+                   Stage.SEQUENCE_ALIGNMENT)
+
     def report(self, out=None) -> str:
         lines = [
             f"[PROFILING] {s.value} time: {self.ns[s]} ns"
             for s in Stage
             if self.ns.get(s)
         ]
+        if any(self.ns.get(s) for s in self._FIVE_STAGE):
+            lines.append(
+                "[PROFILING] note: the per-phase rows are re-run estimates "
+                "(phase-boundary re-execution, -v 4); under the lookahead "
+                "pipeline's overlap they do not sum to the in-run wall"
+            )
         text = "\n".join(lines)
         if out is not None and text:
             print(text, file=out)
