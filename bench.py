@@ -484,7 +484,7 @@ def ont_stats(fa: pathlib.Path) -> dict:
     return out
 
 
-def mcups_stat() -> float:
+def mcups_stat() -> tuple:
     """Extend-kernel microbenchmark (the BASELINE.md north-star number).
 
     Metric history: BENCH_r02's 3,486,727 was an unsynchronized timing
@@ -493,6 +493,10 @@ def mcups_stat() -> float:
     sync is a tiny device-side checksum fetch — the only provably blocking
     operation here — so the number excludes the dirs-tensor D2H and is the
     kernel's real compute rate. Compare r04+ numbers only with each other.
+
+    Returns (mcups_hot_path, mcups_folded, floor_ms): the hot-path
+    (unfolded) kernel plus the opt-in folded variant (roofline lever (1),
+    ops/dp_pallas.py docstring).
     """
     import jax
     import jax.numpy as jnp
@@ -500,7 +504,7 @@ def mcups_stat() -> float:
     from gdiet_tpu.ops.dp_pallas import extd2_batch_pallas
 
     if jax.default_backend() != "tpu":
-        return 0.0
+        return 0.0, 0.0, None
     rng = np.random.default_rng(0)
     N, L = 16384, 192  # large N so kernel time dominates tunnel jitter
     Q = jnp.asarray(rng.integers(0, 4, (N, L), dtype=np.uint8))
@@ -509,14 +513,6 @@ def mcups_stat() -> float:
     band = jnp.full((N,), 150, jnp.int32)
     prm = (2, 8, 12, 2, 24, 1)
 
-    def ck(q, t, l, b):
-        s, dirs, offs, offe = extd2_batch_pallas(
-            q, t, l, b, prm, L, band_budget=200, unroll=8)
-        # checksum forces the whole kernel; strided dirs taps keep the
-        # D2H tiny while preventing dead-code elimination of the output
-        return s.sum() + (dirs[:, ::17, ::13].astype(jnp.int32)).sum()
-
-    f = jax.jit(ck)
     # fetch floor (dispatch+sync round trip) measured and subtracted
     g = jax.jit(lambda q: q[0, 0].astype(jnp.int32))
     np.asarray(g(Q))
@@ -526,14 +522,32 @@ def mcups_stat() -> float:
         np.asarray(g(Q))
         floors.append(time.perf_counter() - t0)
     floor = min(floors)
-    np.asarray(f(Q, T, lens, band))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+
+    def measure(fold: bool) -> float:
+        def ck(q, t, l, b):
+            s, dirs, offs, offe = extd2_batch_pallas(
+                q, t, l, b, prm, L, band_budget=200, unroll=8, fold=fold)
+            # checksum forces the whole kernel; strided dirs taps keep the
+            # D2H tiny while preventing dead-code elimination of the output
+            tap = (dirs[::13, :, ::17] if fold else dirs[:, ::17, ::13])
+            return s.sum() + tap.astype(jnp.int32).sum()
+
+        f = jax.jit(ck)
         np.asarray(f(Q, T, lens, band))
-        ts.append(time.perf_counter() - t0)
-    dt = max(min(ts) - floor, 1e-9)
-    return round(N * 150 * 150 / dt / 1e6, 0), round(floor * 1e3, 1)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(Q, T, lens, band))
+            ts.append(time.perf_counter() - t0)
+        dt = max(min(ts) - floor, 1e-9)
+        return round(N * 150 * 150 / dt / 1e6, 0)
+
+    hot = measure(False)
+    try:
+        folded = measure(True)
+    except Exception:
+        folded = 0.0
+    return hot, folded, round(floor * 1e3, 1)
 
 
 def check_parity() -> float | None:
@@ -741,17 +755,19 @@ def main():
     base = base_stats.get("ref_avx_reads_per_sec") or \
         base_stats.get("ref_scalar_reads_per_sec")
     floor_ms = None
+    mcups_folded = 0.0
     try:
-        mcups = 0.0 if sr_only else mcups_stat()
+        mcups, mcups_folded, floor_ms = (
+            (0.0, 0.0, None) if sr_only else mcups_stat())
     except Exception:
         mcups = 0.0
-    if isinstance(mcups, tuple):
-        mcups, floor_ms = mcups
     ours, stats = our_reads_per_sec(fa, fq)
     stats.update(base_stats)
     stats.update(env_info())
     if floor_ms is not None:
         stats["dispatch_floor_ms"] = floor_ms
+    if mcups_folded:
+        stats["extend_kernel_mcups_folded"] = mcups_folded
     parity = check_parity()
     result = {
         "metric": "sr_reads_per_sec_1chip",

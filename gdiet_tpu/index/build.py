@@ -37,6 +37,10 @@ from gdiet_tpu.oracle.sketch import seq_to_code
 CHUNK = 1 << 14  # diet positions per row
 GROUP = 64  # rows per device call
 
+# set by eval/profile tooling: {"stage","dispatch","fetch","collect"} wall
+# accumulators + overflow count for _sketch_sequence (None = off)
+BUILD_PROF: dict | None = None
+
 
 @dataclass
 class DietIndex:
@@ -331,8 +335,13 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     # duplicate-storm territory, not merely repetitive sequence
     max_out = int(min(width, 4 * width // (w + 1) + 64))
 
+    import time as _time
+
+    prof = BUILD_PROF
+
     def dispatch(rows, flush_ge, out_budget=None):
         """rows: list of (start, end); one async device call."""
+        t0 = _time.perf_counter()
         G = len(rows)
         budget = out_budget or max_out
         dc = np.full((G, width), 255, np.uint8)
@@ -348,21 +357,33 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
             dc[g, :n] = dcodes[lo:hi]  # contiguous: the diet gather happened
             ns[g] = n                  # once per sequence (pat.diet_codes)
             los[g] = lo
+        t1 = _time.perf_counter()
         xy, cnt = sketch_emit_build(
             jnp.asarray(dc), jnp.asarray(ns), jnp.asarray(los),
             jnp.full((G,), rid, np.int64), k, w, budget,
             ones_loc, plen, final_flush_ge=flush_ge,
         )
+        xy.copy_to_host_async()
+        cnt.copy_to_host_async()
+        t2 = _time.perf_counter()
+        if prof is not None:
+            prof["stage"] += t1 - t0
+            prof["dispatch"] += t2 - t1
         return (rows, flush_ge, budget, bounds, xy, cnt)
 
     def collect(pending):
         rows, flush_ge, budget, bounds, xy, cnt = pending
+        t0 = _time.perf_counter()
         cnt = np.asarray(cnt)
         if budget < width and int(cnt.max(initial=0)) > budget:
             # rare overflow: rerun full-width, synchronously
+            if prof is not None:
+                prof["fetch"] += _time.perf_counter() - t0
+                prof["overflows"] += 1
             collect(dispatch(rows, flush_ge, out_budget=width))
             return
         xy = np.asarray(xy)
+        t1 = _time.perf_counter()
         xs, ys = xy[:, :budget], xy[:, budget:]
         for g, (lo, hi, st, en) in enumerate(bounds):
             m = int(cnt[g])
@@ -374,6 +395,9 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
             own = (p_diet >= st) & (p_diet < en)
             keys_out.append((xg[own] >> np.uint64(8)).astype(np.uint64))
             ys_out.append(yg[own].astype(np.uint64))
+        if prof is not None:
+            prof["fetch"] += t1 - t0
+            prof["collect"] += _time.perf_counter() - t1
 
     interior = [(st, min(st + CHUNK, D)) for st in starts[:-1]]
     pending = None

@@ -39,27 +39,41 @@ cell); at ~800 GB/s HBM write bandwidth that bounds ~220 GCUPS — HBM is
 NOT the limit; the kernel is VPU-compute-bound.
 
 Measured (bench.py mcups_stat, honest checksum-synced harness, r04):
-~5.1 GCUPS = ~40% of the op-count ceiling; the residual gap is grid-step
-overhead, the three pltpu.roll ops (multi-instruction on Mosaic), and the
-windowed scratch store-backs. Levers toward the ceiling, in order of
-expected payoff: (1) halve the padding factor by packing two 150-cell
-candidates per 256-lane row (or 16-lane-bucketing tlen), (2) int16 state
-lanes where the SR score envelope provably fits (doubles VPU lanes),
-(3) eliding dirs writes for rows the caller marks sub-only. For
-comparison, the reference's 1-core AVX-512 kernel (ksw2_extd2_avx.c:72)
-reaches ~1-2 GCUPS on this recurrence; one TPU core at 5.1 GCUPS already
-exceeds it, and the SR pipeline amortizes DP under dp_frac anyway.
+~4.6 GCUPS = ~35% of the op-count ceiling; the residual gap is the
+masked-reduction H0 gathers, the three pltpu.roll ops (multi-instruction
+on Mosaic), and the full-lane-width vector ops against the diamond's
+variable live span. For comparison, the reference's 1-core AVX-512
+kernel (ksw2_extd2_avx.c:72) reaches ~1-2 GCUPS on this recurrence; one
+TPU core already exceeds it, and the SR pipeline amortizes DP under
+dp_frac anyway.
 
-Lever (2) status: ``state_dtype="int16"`` is implemented and bit-parity
-tested in interpreter mode (tests/test_dp_pallas.py), but the current
-Mosaic lowering blocks the hot path on real hardware: no int16
-reductions, no int16 lane rotates (both worked around here by casting
-through int32), and i1 mask relayout (8,128)->(16,128) errors when
-(8,128)-layout comparisons (lane iota vs row scalars) feed (16,128)
-int16 selects. A full flip needs the lane-index comparisons rebuilt in
-int16 (safe for T <= 8192 with clamped row scalars) — and whether Mosaic
-executes packed-i16 ALU ops at 2x or emulates them (a potential LOSS) is
-unverified, so the default stays int32.
+Lever status after r05 measurement (all numbers v5e, N=16384, L=192,
+qlen=150, floor-subtracted):
+
+(1) lane-padding halving — IMPLEMENTED as the time-FOLDED kernel
+    (_dp_kernel_fold, fold=True): two consecutive candidates' half-
+    diamonds time-share each kernel row, cutting wavefronts/candidate
+    from R=qlen+tlen-1 to ~H=max(qlen, R/2) and halving the dirs HBM
+    footprint (513->275 MB at the SR batch shape). Measured return:
+    +7% kernel-level and +1.2% end-to-end (SAM-identical), NOT the
+    naive 1.9x — the dual-half body costs ~1.5x per step (extra
+    boundary/reset/H0 machinery and lost VPU multi-issue slack), and
+    Mosaic compiles it ~8x slower (353 s vs 46 s first pass). It is
+    therefore OPT-IN (GDIET_DP_FOLD=1); bench.py records both variants'
+    MCUPS. The honest conclusion: at ~120 VPU ops/wavefront the
+    unfolded kernel already sits near the 4-issue op bound, so padding
+    reduction buys little without an op-count reduction to match.
+
+(2) int16 state lanes — ``state_dtype="int16"`` is implemented and
+    bit-parity tested in interpreter mode (tests/test_dp_pallas.py) but
+    TOOLCHAIN-BLOCKED on hardware: this environment's Mosaic compile
+    helper rejects even trivial int16 Pallas kernels (HTTP-500 from
+    tpu_compile_helper, r05 probe), on top of the missing int16
+    reductions/rotates already worked around by int32 casts. Re-test
+    when the toolchain moves.
+
+(3) eliding dirs writes for sub-only rows — superseded: the SR pipeline
+    already compacts DP rows to the need-DP subset (device_step phase 8).
 """
 
 from __future__ import annotations

@@ -1314,13 +1314,16 @@ def fused_map_step(
         from gdiet_tpu.ops.dp_pallas import (_round_up, extd2_batch_pallas,
                                              window_geometry)
 
-        # fold whenever the banded lane window cannot engage (the SR shape:
-        # band >= read length): ~2x counted cells/step and half the dirs HBM
-        # (GDIET_DP_FOLD=0 pins the unfolded kernel for A/B sweeps)
+        # GDIET_DP_FOLD=1 opts into the folded kernel where the banded lane
+        # window cannot engage (the SR shape: band >= read length). Measured
+        # r05 on v5e: half the dirs HBM and +7% kernel-level, but only +1.2%
+        # end-to-end (SAM-identical) at ~8x the Mosaic compile time (353 s
+        # vs 46 s first pass) — so the default stays the unfolded kernel;
+        # see the roofline note in ops/dp_pallas.py
         import os as _os
 
         use_fold = (
-            _os.environ.get("GDIET_DP_FOLD", "1") != "0"
+            _os.environ.get("GDIET_DP_FOLD", "0") == "1"
             and window_geometry(cfg.bw_max, _round_up(cfg.Lmax, 128)) is None
         )
         score2, dirs, offs, off_ends = extd2_batch_pallas(
