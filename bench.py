@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """End-to-end short-read mapping benchmark on one TPU chip.
 
-Workload: synthetic 2 Mbp genome + 300k x 150 bp Illumina-like reads (0.5%
+Workload: synthetic 2 Mbp genome + 600k x 150 bp Illumina-like reads (0.5%
 subs), mapped with the reference's published sr benchmark preset
 (/root/reference/README.md:41: -x sr -Z 10 -W 2 -k 21 -w 11 -i 2 -N 1
 -r 0.05,150,200 -n 0.95,0.3 -s 100 --AF_max_loc 2).
@@ -42,7 +42,8 @@ REF_SRC = "/root/reference/GDiet-ShortReads"
 REF_BUILD = pathlib.Path("/tmp/gdiet_ref/SR")
 
 GENOME_LEN = 2_000_000
-N_READS = 300_000  # >=5 s timed region on both sides (VERDICT r04 weak #1)
+N_READS = 600_000  # >=5 s timed region on both sides (VERDICT r04 weak #1):
+# ours maps ~120k reads/s on a v5e chip, the reference ~34-42k/s/core
 N_REPS = 5  # timed repetitions per side (after a discarded warmup)
 READ_LEN = 150
 SUB_RATE = 0.005
