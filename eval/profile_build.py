@@ -54,4 +54,6 @@ def main(mb: int = 100, pattern: str = "10"):
 
 
 if __name__ == "__main__":
-    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:]))
+    mb = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    pat = sys.argv[2] if len(sys.argv) > 2 else "10"
+    main(mb, pat)
