@@ -338,6 +338,9 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
     import time as _time
 
     prof = BUILD_PROF
+    # one-u64-per-emission D2H (halves the fetch bytes — the measured build
+    # bottleneck): hash needs 2k bits, the row-relative position 18
+    packed = (2 * k + 18 <= 64) and (width * plen < (1 << 17))
 
     def dispatch(rows, flush_ge, out_budget=None):
         """rows: list of (start, end); one async device call."""
@@ -361,7 +364,7 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
         xy, cnt = sketch_emit_build(
             jnp.asarray(dc), jnp.asarray(ns), jnp.asarray(los),
             jnp.full((G,), rid, np.int64), k, w, budget,
-            ones_loc, plen, final_flush_ge=flush_ge,
+            ones_loc, plen, final_flush_ge=flush_ge, packed=packed,
         )
         xy.copy_to_host_async()
         cnt.copy_to_host_async()
@@ -384,6 +387,23 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
             return
         xy = np.asarray(xy)
         t1 = _time.perf_counter()
+        if packed:
+            rid64 = np.uint64(rid << 32)
+            for g, (lo, hi, st, en) in enumerate(bounds):
+                m = int(cnt[g])
+                pk = xy[g, :m]
+                base2 = np.uint64(
+                    int(pat.real_location(lo, pattern, 0)) << 1)
+                posbit = (pk & np.uint64(0x3FFFF)) + base2
+                p_real = (posbit >> np.uint64(1)).astype(np.int64)
+                p_diet = pat.diet_location(p_real, pattern, 0)
+                own = (p_diet >= st) & (p_diet < en)
+                keys_out.append((pk >> np.uint64(18))[own])
+                ys_out.append((rid64 | posbit)[own])
+            if prof is not None:
+                prof["fetch"] += t1 - t0
+                prof["collect"] += _time.perf_counter() - t1
+            return
         xs, ys = xy[:, :budget], xy[:, budget:]
         for g, (lo, hi, st, en) in enumerate(bounds):
             m = int(cnt[g])

@@ -229,7 +229,8 @@ def sketch_emit(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "w", "max_out", "ones_loc", "plen", "final_flush_ge"),
+    static_argnames=("k", "w", "max_out", "ones_loc", "plen",
+                     "final_flush_ge", "packed"),
 )
 def sketch_emit_build(
     diet_codes: jnp.ndarray,  # [B, D] uint8
@@ -242,6 +243,10 @@ def sketch_emit_build(
     ones_loc: tuple[int, ...],  # pattern '1' offsets (pattern.ones_locations)
     plen: int,  # pattern period
     final_flush_ge: bool = True,
+    packed: bool = False,  # one u64 per emission instead of (x, y):
+    # (hash << 18) | (row-relative pos << 1) | strand — HALF the D2H bytes
+    # (the build bottleneck at GRCh38 scale). Valid while 2k + 18 <= 64
+    # (k <= 23) and D * plen < 2^17; the caller reconstructs (key, y).
 ):
     """Index-build variant of sketch_emit, tuned for the tunnel link:
 
@@ -265,6 +270,14 @@ def sketch_emit_build(
     xs, ys, _, nvalid = _emit_core(
         diet_codes, diet_len, real_pos, rid, k, w, max_out, final_flush_ge
     )
+    if packed:
+        assert 2 * k + 18 <= 64 and D * plen < (1 << 17), (k, D, plen)
+        # row base in (pos << 1) units: real position of diet column 0
+        base2 = (((lo.astype(jnp.int64) // ones) * jnp.int64(plen)
+                  + loc[lo.astype(jnp.int64) % ones]) << 1)[:, None]
+        u64 = jnp.uint64
+        rel2 = (ys & u64(0xFFFFFFFF)) - base2.astype(u64)
+        return ((xs >> u64(8)) << u64(18)) | rel2, nvalid
     return jnp.concatenate([xs, ys], axis=1), nvalid
 
 
