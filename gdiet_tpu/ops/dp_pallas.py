@@ -74,6 +74,19 @@ qlen=150, floor-subtracted):
 
 (3) eliding dirs writes for sub-only rows — superseded: the SR pipeline
     already compacts DP rows to the need-DP subset (device_step phase 8).
+
+(4) vectorizing the approximate-H0 walk — TRIED AND REVERTED (r05): the
+    two per-wavefront masked reductions (the _row_gather H0/lt taps,
+    ksw2_extd2_sse.c:367-383) can be replaced by a one-hot walk mask
+    updated elementwise plus a per-lane increment accumulator, with ONE
+    cross-lane sum at kernel end. Bit-parity held (interpreter fuzz +
+    NEG_INF rows), but same-box A/B measured 4,357 -> 3,882-3,961 MCUPS
+    (~9-10% SLOWER): the replacement needs two extra pltpu.roll ops and
+    ~6 full-width selects per wavefront, which out-cost the two
+    log-depth reductions, and its larger unrolled live set overflowed
+    the 16 MiB scoped-vmem stack budget (needed a vmem_limit_bytes
+    raise just to compile). Kept out of the tree; this note is the
+    record.
 """
 
 from __future__ import annotations
