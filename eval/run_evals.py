@@ -400,10 +400,10 @@ def main():
     lines += [
         "",
         "Sub-second rows are bounded by the TPU tunnel's per-dispatch"
-        " latency (a fixed ~0.1 s/batch floor), not compute — the ratios"
-        " improve with workload size (see SCALE.md's 3 Gbp run: 43x), and"
-        " the all-negative 'unrelated' search pays the floor with nothing"
-        " to amortize it.",
+        " latency (a measured ~0.02-0.1 s round-trip floor), not compute —"
+        " the ratios improve with workload size (see SCALE.md's 3 Gbp"
+        " mapping rows and BENCH's 600k-read region), and the all-negative"
+        " 'unrelated' search pays the floor with nothing to amortize it.",
     ]
     lines += [
         "",

@@ -24,6 +24,7 @@ to be exact at chunk interiors — then a single sort builds the CSR arrays.
 from __future__ import annotations
 
 import json
+from collections.abc import Iterable  # noqa: F401 (annotation)
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp
@@ -458,10 +459,18 @@ def build_index_parts(
 
 
 def build_index(
-    seqs: list[tuple[str, str]] | dict[str, str],
+    seqs: "Iterable[tuple[str, str]] | dict[str, str]",
     io: IndexOptions,
 ) -> DietIndex:
     """mm_idx_gen analog: sketch every sequence on device, then build CSR.
+
+    ``seqs`` may be any iterable of (name, seq) — pass a GENERATOR for
+    large genomes (e.g. streaming read_fastx records): each sequence's
+    string is then released right after encoding. On this benchmark VM
+    (see SCALE.md's host-memory note) holding all of GRCh38's strings
+    alive through the build measurably inflates wall time; streaming
+    matches the reference's one-batch-at-a-time mm_idx_gen pipeline
+    (index.c:306-412).
 
     With MM_I_NO_SEQ (--idx-no-seq, index.c:339-349) the reference skips
     storing the packed sequence — the containment-search workloads' 723x
@@ -471,7 +480,7 @@ def build_index(
     from gdiet_tpu.config import MM_I_NO_SEQ
 
     no_seq = bool(io.flag & MM_I_NO_SEQ)
-    items = list(seqs.items()) if isinstance(seqs, dict) else list(seqs)
+    items = seqs.items() if isinstance(seqs, dict) else seqs
     names, lengths, offsets, codes_all = [], [], [], []
     all_keys, all_ys = [], []
     off = 0
@@ -480,6 +489,7 @@ def build_index(
         pass
     for rid, (name, seq) in enumerate(items):
         codes = seq_to_code(seq) if isinstance(seq, (str, bytes)) else seq
+        del seq  # release the ASCII string before sketching (streaming)
         names.append(name)
         lengths.append(len(codes))
         offsets.append(off)

@@ -49,8 +49,9 @@ def load_or_build_index(
             )
         return mi
     with PROFILE.stage(Stage.INDEXING):
-        refs = [(r.name, r.seq) for r in read_fastx(target)]
-        mi = build_index(refs, io)
+        # stream: each sequence's string is released after encoding
+        mi = build_index(
+            ((r.name, r.seq) for r in read_fastx(target)), io)
     _log(verbose, t0, f"built the index for {mi.n_seq} target sequence(s)")
     if verbose >= 3:  # mm_idx_stat (index.c:102-127)
         st = mi.stats()
