@@ -412,10 +412,16 @@ def write_scale_md(r, out):
         "lane-pad 16x and overflow HBM at this scale (the fix behind the "
         "measured run above). Reference mapping runs load their index from "
         "disk per invocation (same command a user runs); ours keep the "
-        "index resident, which is the framework's serving model. Our build "
-        "is slower than the reference's at 3 Gbp (single-core host CSR "
-        "staging + device-sketch dispatch per 16.8 Mbp group); build is a "
-        "once-per-genome cost and is not the benched claim.",
+        "index resident, which is the framework's serving model. The build "
+        "STREAMS sequences into the device sketch (one ASCII string alive "
+        "at a time — holding the whole genome's strings measurably "
+        "inflated wall on this demand-paged VM: 775-1339 s vs ~440 s for "
+        "the same pipeline, r05 A/B) and is warm-compile timed like every "
+        "other measurement here; its per-phase decomposition at 3 Gbp is "
+        "device sketch ~134 s (D2H fetch-bound), native LSD radix sort "
+        "~95 s, FASTA parse ~27 s, encode ~23 s, concat ~34 s, CSR ~2 s "
+        "(eval/profile_build.py). Build remains a once-per-genome cost and "
+        "is not the benched claim.",
         "",
         "## Host memory model (this benchmark VM)",
         "",
