@@ -194,10 +194,16 @@ def reexec_with_shmalloc():
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
-def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> bool:
+def radix_sort_kv(keys: np.ndarray, vals: np.ndarray,
+                  vals_presorted: bool = False) -> bool:
     """In-place stable sort of parallel uint64 arrays by (key, val)
     ascending — same order as ``np.lexsort((vals, keys))`` applied to
     both, but O(passes) LSD radix in C (index.c:225-266 analog).
+    ``vals_presorted=True`` skips the val digit passes entirely: when the
+    input stream is already val-ascending (the device sketch's analytic
+    emission order is position-monotonic, so index builds qualify — the
+    caller must check), stability of the key passes alone preserves
+    val order within equal keys. Roughly halves the scatter passes.
     Returns False (arrays untouched) when the native library is absent.
     """
     if lib is None or len(keys) == 0:
@@ -205,7 +211,7 @@ def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> bool:
     assert keys.dtype == np.uint64 and vals.dtype == np.uint64
     assert keys.flags.c_contiguous and vals.flags.c_contiguous
     key_bits = int(keys.max()).bit_length()
-    val_bits = int(vals.max()).bit_length()
+    val_bits = 0 if vals_presorted else int(vals.max()).bit_length()
     tk, tv = np.empty_like(keys), np.empty_like(vals)
     lib.radix_sort_kv(
         _ptr(keys, ctypes.c_uint64), _ptr(vals, ctypes.c_uint64),

@@ -45,6 +45,22 @@ def test_radix_wide_bits():
 
 
 @needs_native
+def test_radix_presorted_vals_skips_val_passes():
+    """vals_presorted=True must reproduce full (key, val) order when the
+    input vals are ascending: key-pass stability carries the val order
+    (the index build's fast path — emission streams are position-sorted)."""
+    rng = np.random.default_rng(11)
+    n = 100_000
+    keys = rng.integers(0, 512, n, dtype=np.uint64)  # heavy duplication
+    vals = np.sort(rng.integers(0, 1 << 41, n, dtype=np.uint64))
+    k2, v2 = keys.copy(), vals.copy()
+    assert native.radix_sort_kv(k2, v2, vals_presorted=True)
+    order = np.lexsort((vals, keys))
+    np.testing.assert_array_equal(k2, keys[order])
+    np.testing.assert_array_equal(v2, vals[order])
+
+
+@needs_native
 def test_build_index_native_matches_numpy(monkeypatch):
     rng = np.random.default_rng(3)
     seqs = [
@@ -53,7 +69,7 @@ def test_build_index_native_matches_numpy(monkeypatch):
     ]
     io = IndexOptions(k=15, w=10, pattern="10")
     mi_c = build_index(seqs, io)
-    monkeypatch.setattr(native, "radix_sort_kv", lambda *a: False)
+    monkeypatch.setattr(native, "radix_sort_kv", lambda *a, **k: False)
     mi_np = build_index(seqs, io)
     np.testing.assert_array_equal(mi_c.keys, mi_np.keys)
     np.testing.assert_array_equal(mi_c.starts, mi_np.starts)
