@@ -421,19 +421,21 @@ def _sketch_sequence(codes: np.ndarray, k: int, w: int, pattern: str, rid: int):
             prof["collect"] += _time.perf_counter() - t1
 
     interior = [(st, min(st + CHUNK, D)) for st in starts[:-1]]
-    pending = None
+    # keep a few groups in flight (not just one): a single pending group
+    # leaves the device idle for a full tunnel round trip per collect;
+    # three in flight hide the latency behind compute on the 3 Gbp build
+    DEPTH = 3
+    pending: list = []
     for i in range(0, len(interior), GROUP):
         grp = interior[i : i + GROUP]
         if len(grp) < GROUP:
             grp = grp + [(D, D)] * (GROUP - len(grp))  # pad to one shape
-        nxt = dispatch(grp, flush_ge=True)
-        if pending is not None:
-            collect(pending)
-        pending = nxt
-    tail = dispatch([(starts[-1], D)], flush_ge=False)
-    if pending is not None:
-        collect(pending)
-    collect(tail)
+        pending.append(dispatch(grp, flush_ge=True))
+        if len(pending) > DEPTH:
+            collect(pending.pop(0))
+    pending.append(dispatch([(starts[-1], D)], flush_ge=False))
+    for p in pending:
+        collect(p)
     return np.concatenate(keys_out), np.concatenate(ys_out)
 
 
